@@ -1,0 +1,456 @@
+"""Blockwise flash attention as Pallas TPU kernels (forward + backward).
+
+This is the TPU-native replacement for the reference's flash-attn 2/3 CUDA
+wheels (wan/modules/attention.py:94-127): online-softmax tiling so the
+[Lq, Lk] score matrix never materialises in HBM, with varlen masking via
+per-sample k_lens, optional causal and sliding-window masks.
+
+Layout: kernels operate on [B, N, L, D] (batch, heads, seq, head_dim) so the
+trailing (L, D) axes map onto (sublane, lane) tiles; D=128 for every Wan
+model (dim/heads = 1536/12 = 5120/40 = 128) which exactly fills the lane
+dimension and feeds the MXU full 128x128 tiles.
+
+Forward grid (B, N, nq, nk): the nk axis is 'arbitrary' (sequential) — the
+(m, l, acc) online-softmax state lives in VMEM scratch across nk steps and
+the output block is flushed once per (b, n, iq). Backward runs two kernels:
+dk/dv with k-blocks resident scanning q-blocks, dq with q-blocks resident
+scanning k-blocks — the standard two-pass flash backward, no atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _block_sizes(lq: int, lk: int, bq: int, bk: int) -> Tuple[int, int]:
+    return min(bq, lq), min(bk, lk)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad)
+
+
+def _mask_block(
+    iq, ik, block_q, block_k, k_len, lk_total, lq_total,
+    causal: bool, window: Tuple[int, int],
+):
+    """Boolean [block_q, block_k] mask of valid (q, k) pairs for this tile."""
+    q_idx = iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    k_idx = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = k_idx < k_len
+    if causal or window != (-1, -1):
+        # align diagonals when Lq != Lk (same convention as attention_xla)
+        qg = q_idx + (lk_total - lq_total)
+        if causal:
+            mask &= k_idx <= qg
+        left, right = window
+        if left >= 0:
+            mask &= (qg - k_idx) <= left
+        if right >= 0:
+            mask &= (k_idx - qg) <= right
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_ref, l_ref, acc_ref, *, scale, causal, window,
+                lq_total, lk_total, block_q, block_k, num_k_blocks,
+                precision):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                       # [bq, D]
+    k = k_ref[0, 0]                       # [bk, D]
+    v = v_ref[0, 0]                       # [bk, D]
+    k_len = klen_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale      # [bq, bk]
+    mask = _mask_block(iq, ik, block_q, block_k, k_len,
+                       lk_total, lq_total, causal, window)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:, 0]                                 # [bq]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    alpha = jnp.exp(m_prev - m_cur)                      # [bq]
+    p = jnp.exp(s - m_cur[:, None])                      # [bq, bk]
+    # fully-masked tiles: exp(NEG_INF - NEG_INF) = 1 — kill those rows
+    p = jnp.where(mask, p, 0.0)
+
+    l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    m_ref[:] = jnp.broadcast_to(m_cur[:, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_cur[:, None], l_ref.shape)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / denom[:, None]).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, NEG_INF, m_ref[:, 0] + jnp.log(denom))
+        lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
+
+
+def _flash_fwd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
+               interpret, precision):
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
+    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    lq_p, lk_p = qp.shape[2], kp.shape[2]
+    nq, nk = lq_p // block_q, lk_p // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, window=window,
+        lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
+        num_k_blocks=nk, precision=precision)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1,), lambda b_, n_, iq, ik: (b_,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, lq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # m
+            pltpu.VMEM((block_q, 128), jnp.float32),   # l
+            pltpu.VMEM((block_q, d), jnp.float32),     # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * lq_p * lk_p * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * n * lq_p * lk_p,
+        ),
+        interpret=interpret,
+    )(k_lens, qp, kp, vp)
+    return out[:, :, :lq], lse[:, :, :lq, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                     scale, causal, window, lq_total, lk_total,
+                     block_q, block_k, num_q_blocks, precision):
+    ik, iq = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]            # [bq, D]
+    k = k_ref[0, 0]            # [bk, D]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]          # [bq, D]
+    lse = lse_ref[0, 0][:, 0]  # [bq]
+    delta = delta_ref[0, 0][:, 0]
+    k_len = klen_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale          # [bq, bk]
+    mask = _mask_block(iq, ik, block_q, block_k, k_len,
+                       lk_total, lq_total, causal, window)
+    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)      # [bq, bk]
+
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [bk, D]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [bq, bk]
+    ds = p * (dp - delta[:, None]) * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [bk, D]
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_acc, *,
+                   scale, causal, window, lq_total, lk_total,
+                   block_q, block_k, num_k_blocks, precision):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, 0]
+    delta = delta_ref[0, 0][:, 0]
+    k_len = klen_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale
+    mask = _mask_block(iq, ik, block_q, block_k, k_len,
+                       lk_total, lq_total, causal, window)
+    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    ds = p * (dp - delta[:, None]) * scale
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
+               precision):
+    q, k, v, k_lens, out, lse = res
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
+    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                                   # [B, N, Lq]
+
+    qp = _pad_to(q, 2, block_q)
+    dop = _pad_to(g.astype(q.dtype), 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    lq_p, lk_p = qp.shape[2], kp.shape[2]
+    nq, nk = lq_p // block_q, lk_p // block_k
+    # lse/delta as [B, N, Lq_p, 128] lane-broadcast for aligned loads
+    lse_p = _pad_to(lse, 2, block_q)[..., None] * jnp.ones((128,), jnp.float32)
+    delta_p = _pad_to(delta, 2, block_q)[..., None] * jnp.ones(
+        (128,), jnp.float32)
+
+    common_in = [
+        pl.BlockSpec((1,), lambda b_, n_, i, j: (b_,),
+                     memory_space=pltpu.SMEM),
+    ]
+
+    dkdv_kernel = functools.partial(
+        _bwd_dkdv_kernel, scale=scale, causal=causal, window=window,
+        lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
+        num_q_blocks=nq, precision=precision)
+    dk, dv = pl.pallas_call(
+        dkdv_kernel,
+        grid=(b, n, nk, nq),
+        in_specs=common_in + [
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, lk_p, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(k_lens, qp, kp, vp, dop, lse_p, delta_p)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal, window=window,
+        lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
+        num_k_blocks=nk, precision=precision)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, n, nq, nk),
+        in_specs=common_in + [
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, lq_p, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(k_lens, qp, kp, vp, dop, lse_p, delta_p)[0]
+
+    return (dq[:, :, :lq].astype(q.dtype),
+            dk[:, :, :lk].astype(k.dtype),
+            dv[:, :, :lk].astype(v.dtype))
+
+
+# ---------------------------------------------------------------------------
+# public entry (accepts the [B, L, N, D] layout of ops.attention)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, k_lens, scale, causal, window, block_q, block_k,
+           interpret, precision):
+    out, _ = _flash_fwd(q, k, v, k_lens, scale, causal, window,
+                        block_q, block_k, interpret, precision)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, k_lens, scale, causal, window, block_q,
+                    block_k, interpret, precision):
+    out, lse = _flash_fwd(q, k, v, k_lens, scale, causal, window,
+                          block_q, block_k, interpret, precision)
+    return out, (q, k, v, k_lens, out, lse)
+
+
+def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
+                    precision, res, g):
+    dq, dk, dv = _flash_bwd(res, g, scale, causal, window, block_q,
+                            block_k, interpret, precision)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def pallas_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_lens: Optional[jnp.ndarray] = None,
+    k_lens: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    q_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+) -> jnp.ndarray:
+    """Flash attention on [B, L, N, D] inputs (reference layout).
+
+    q_lens is accepted for parity; like the reference's varlen path, rows
+    past q_lens[b] produce values the caller never reads, so no q-masking
+    is required for correctness.
+    """
+    del q_lens
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    out_dtype = q.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
+    qc = q.astype(compute_dtype)
+    if q_scale is not None:
+        qc = qc * jnp.asarray(q_scale, compute_dtype)
+
+    # [B, L, N, D] -> [B, N, L, D]
+    qt = jnp.swapaxes(qc, 1, 2)
+    kt = jnp.swapaxes(k.astype(compute_dtype), 1, 2)
+    vt = jnp.swapaxes(v.astype(compute_dtype), 1, 2)
+
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+    else:
+        k_lens = jnp.minimum(k_lens.astype(jnp.int32), lk)
+
+    out = _flash(qt, kt, vt, k_lens, scale, causal, tuple(window_size),
+                 int(block_q), int(block_k), bool(interpret), precision)
+    return jnp.swapaxes(out, 1, 2).astype(out_dtype)
