@@ -1,0 +1,88 @@
+"""Benchmark: Wan-1.3B denoise-step latency on the target config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+Workload: the repo's headline pipeline config — Wan2.1-T2V-1.3B,
+480x832, 81 frames (latents [16,21,60,104], 32760 tokens), one
+classifier-free-guidance denoise step (cond+uncond fused in one batch-2
+forward), bf16, single chip.
+
+Baseline for vs_baseline: BASELINE.json's north star — a 5 s clip
+(81f @ 50 steps) in <= 30 s on v5e-8 → 30*8/50 = 4.8 chip-seconds per
+CFG step. vs_baseline = 4800 / measured_ms (>1 beats the target).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from omnihuman_tpu.configs import WAN_CONFIGS
+    from omnihuman_tpu.models.wan_dit import init_wan_model, wan_model_forward
+    from omnihuman_tpu.ops.rope import rope_angles_3d
+
+    cfg = WAN_CONFIGS["t2v-1.3B"]
+    frames, h, w = 21, 60, 104          # 81 pixel frames @ 480x832
+    grid = (21, 30, 52)
+    seq_len = grid[0] * grid[1] * grid[2]   # 32760
+
+    init = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_wan_model(k, cfg.model)))
+    params = init(jax.random.key(0))
+    jax.block_until_ready(params)
+
+    sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
+    rng = np.random.default_rng(0)
+    # CFG fused: batch 2 = (cond, uncond)
+    x = jnp.asarray(rng.normal(size=(2, 16, frames, h, w)), jnp.bfloat16)
+    t = jnp.full((2,), 999.0, jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 512, 4096)) * 0.1, jnp.bfloat16)
+
+    @jax.jit
+    def cfg_step(params, x, t, ctx):
+        v = wan_model_forward(params, x, t, ctx, cfg=cfg.model,
+                              seq_len=seq_len, rope_sin=sin, rope_cos=cos,
+                              remat=False)
+        vc, vu = jnp.split(v, 2, axis=0)
+        return vu + 5.0 * (vc - vu)
+
+    v = cfg_step(params, x, t, ctx)
+    v.block_until_ready()
+
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        v = cfg_step(params, x, t, ctx)
+        v.block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(times, 50))
+
+    target_ms = 30_000.0 * 8 / 50      # 4800 chip-ms per CFG step
+    print(json.dumps({
+        "metric": "p50 CFG denoise-step latency, Wan-1.3B 480x832x81f "
+                  "(32760 tok), 1 chip",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -224,8 +224,10 @@ TINY_TEST = WanConfig(
         model_type="t2v", dim=64, ffn_dim=128, num_heads=4, num_layers=2,
         freq_dim=32, text_dim=32, text_len=16,
     ),
-    vae=VAEConfig(base_dim=8, dim_mult=(1, 2), num_res_blocks=1,
-                  temporal_downsample=(True,)),
+    # genuine 4x temporal / 8x spatial compression (matches vae_stride)
+    vae=VAEConfig(base_dim=8, z_dim=16, dim_mult=(1, 1, 1, 1),
+                  num_res_blocks=1,
+                  temporal_downsample=(False, True, True)),
     t5=T5Config(vocab_size=128, dim=32, dim_attn=32, dim_ffn=64,
                 num_heads=4, num_layers=2),
     text_len=16,

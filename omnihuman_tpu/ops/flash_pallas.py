@@ -88,7 +88,7 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     q = q_ref[0, 0]                       # [bq, D]
     k = k_ref[0, 0]                       # [bk, D]
     v = v_ref[0, 0]                       # [bk, D]
-    k_len = klen_ref[0]
+    k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -142,7 +142,7 @@ def _flash_fwd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
         kernel,
         grid=(b, n, nq, nk),
         in_specs=[
-            pl.BlockSpec((1,), lambda b_, n_, iq, ik: (b_,),
+            pl.BlockSpec((b,), lambda b_, n_, iq, ik: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
@@ -201,7 +201,7 @@ def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     do = do_ref[0, 0]          # [bq, D]
     lse = lse_ref[0, 0][:, 0]  # [bq]
     delta = delta_ref[0, 0][:, 0]
-    k_len = klen_ref[0]
+    k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -244,7 +244,7 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, 0]
     delta = delta_ref[0, 0][:, 0]
-    k_len = klen_ref[0]
+    k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -288,7 +288,7 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
         (128,), jnp.float32)
 
     common_in = [
-        pl.BlockSpec((1,), lambda b_, n_, i, j: (b_,),
+        pl.BlockSpec((b,), lambda b_, n_, i, j: (0,),
                      memory_space=pltpu.SMEM),
     ]
 

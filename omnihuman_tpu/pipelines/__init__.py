@@ -1,0 +1,3 @@
+from omnihuman_tpu.pipelines.text2video import WanT2V
+
+__all__ = ["WanT2V"]

@@ -1,0 +1,97 @@
+"""One-step (Seaweed-APT) inference pipeline.
+
+Capability parity with reference seaweed_apt/wan_inference.py:16-251
+(`SeaweedWanAPTGenerator`): load a trained one-step generator, encode the
+prompt, run a SINGLE forward at t = T (no CFG loop), VAE-decode, save the
+clip — with per-stage timing (text-encode / DiT / VAE-decode,
+wan_inference.py:94-178).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnihuman_tpu.configs.wan import WanConfig
+from omnihuman_tpu.models import vae as vae_mod
+from omnihuman_tpu.models import wan_dit
+from omnihuman_tpu.ops.rope import rope_angles_3d
+from omnihuman_tpu.utils.logging import logger
+
+
+class SeaweedWanAPTGenerator:
+    """One-step text-to-video generator."""
+
+    def __init__(self, pipe, generator_params=None):
+        """pipe: a WanT2V pipeline (supplies T5/VAE/config); generator
+        params default to the pipeline's DiT (e.g. after loading a
+        distilled/APT checkpoint into it)."""
+        self.pipe = pipe
+        self.config: WanConfig = pipe.config
+        self.params = (generator_params if generator_params is not None
+                       else pipe.params)
+
+    def generate(
+        self,
+        prompt: str,
+        size: Tuple[int, int] = (832, 480),
+        frame_num: int = 1,
+        seed: int = 0,
+        context: Optional[jnp.ndarray] = None,
+        return_latents: bool = False,
+    ):
+        """video [3, F, H, W] from ONE model forward (wan_inference.py:71-195)."""
+        cfg = self.config
+        timings = {}
+
+        t0 = time.perf_counter()
+        if context is None:
+            context, _ = self.pipe.encode_text([prompt])
+        jax.block_until_ready(context)
+        timings["text_encode_s"] = time.perf_counter() - t0
+
+        lat_shape = self.pipe.latent_shape(size, frame_num)
+        seq_len = self.pipe.seq_len_for(lat_shape)
+        grid = (lat_shape[1] // cfg.model.patch_size[0],
+                lat_shape[2] // cfg.model.patch_size[1],
+                lat_shape[3] // cfg.model.patch_size[2])
+        sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
+        noise = jax.random.normal(jax.random.key(seed), (1,) + lat_shape,
+                                  jnp.float32)
+
+        t0 = time.perf_counter()
+        v = _one_step(self.params, noise, context, cfg.model, seq_len,
+                      sin, cos, cfg.policy, float(cfg.num_train_timesteps))
+        latents = noise - v
+        jax.block_until_ready(latents)
+        timings["dit_s"] = time.perf_counter() - t0
+
+        if return_latents:
+            self.timings = timings
+            return latents
+
+        t0 = time.perf_counter()
+        video = vae_mod.vae_decode(self.pipe.vae_params, latents, cfg.vae,
+                                   streaming=True)
+        jax.block_until_ready(video)
+        timings["vae_decode_s"] = time.perf_counter() - t0
+        self.timings = timings
+        logger.info(f"one-step generation timings: {timings}")
+        return video[0]
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 7, 8))
+def _one_step(params, noise, context, cfg_model, seq_len, sin, cos,
+              policy, t_final):
+    b = noise.shape[0]
+    t = jnp.full((b,), t_final, jnp.float32)
+    return wan_dit.wan_model_forward(
+        params, noise, t, context, cfg=cfg_model, seq_len=seq_len,
+        rope_sin=sin, rope_cos=cos, policy=policy, remat=False)

@@ -7,8 +7,6 @@ driver's dryrun validates the multi-chip path.
 
 import os
 
-# force, not setdefault: the dev box presets JAX_PLATFORMS=axon (real TPU)
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The dev box's axon TPU plugin overrides the JAX_PLATFORMS env var; only a
+# config update reliably pins tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # f32 matmuls in tests must be exact f32 (JAX's default decomposes to bf16
 # passes even on CPU) — parity tests compare against numpy.

@@ -1,0 +1,74 @@
+"""End-to-end t2v pipeline smoke tests (tiny config, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihuman_tpu.configs.wan import TINY_TEST
+from omnihuman_tpu.pipelines.text2video import WanT2V
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = WanT2V(TINY_TEST, checkpoint_dir=None, param_dtype=jnp.float32)
+    # the head is zero-initialised (v == 0 for any input) — randomise it so
+    # the velocity actually depends on the conditioning
+    rng = np.random.default_rng(42)
+    p.params["head"]["w"] = jnp.asarray(
+        rng.normal(size=p.params["head"]["w"].shape) * 0.1, jnp.float32)
+    return p
+
+
+def _ctx(pipe, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.normal(size=(1, TINY_TEST.text_len, TINY_TEST.t5.dim)) * 0.1,
+        jnp.float32)
+
+
+def test_latent_shape_target_config(pipe):
+    # reference target: 480x832, 81 frames → [16, 21, 60, 104]
+    # (README.md:35-51; generate.py:151-161 uses 1 frame → [16,1,60,104])
+    shape = pipe.latent_shape((832, 480), 81)
+    assert shape == (TINY_TEST.vae.z_dim, 21, 60, 104)
+    assert pipe.latent_shape((832, 480), 1)[1] == 1
+
+
+def test_generate_end_to_end(pipe):
+    video = pipe.generate(
+        "a cat", size=(32, 32), frame_num=5, sampling_steps=3,
+        guide_scale=4.0, seed=7,
+        context=_ctx(pipe, 0), context_null=_ctx(pipe, 1))
+    # 32x32 pixels, 5 frames
+    assert video.shape == (3, 5, 32, 32)
+    v = np.asarray(video)
+    assert np.isfinite(v).all()
+    assert v.min() >= -1.0 and v.max() <= 1.0
+
+
+def test_generate_deterministic_with_seed(pipe):
+    kw = dict(size=(32, 32), frame_num=1, sampling_steps=2, seed=3,
+              context=_ctx(pipe, 0), context_null=_ctx(pipe, 1),
+              return_latents=True)
+    a = pipe.generate("x", **kw)
+    b = pipe.generate("x", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_solver_choice_dpm(pipe):
+    lat = pipe.generate(
+        "x", size=(32, 32), frame_num=1, sampling_steps=2,
+        sample_solver="dpm++", seed=5,
+        context=_ctx(pipe, 0), context_null=_ctx(pipe, 1),
+        return_latents=True)
+    assert lat.shape == (1, TINY_TEST.vae.z_dim, 1, 4, 4)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_guide_scale_changes_output(pipe):
+    kw = dict(size=(32, 32), frame_num=1, sampling_steps=2, seed=3,
+              context=_ctx(pipe, 0), context_null=_ctx(pipe, 1),
+              return_latents=True)
+    a = pipe.generate("x", guide_scale=1.0, **kw)
+    b = pipe.generate("x", guide_scale=9.0, **kw)
+    assert not np.allclose(np.asarray(a), np.asarray(b))

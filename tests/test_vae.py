@@ -1,0 +1,123 @@
+"""3D causal VAE tests: shapes, streaming==full-sequence parity, causality."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihuman_tpu.configs.wan import VAEConfig
+from omnihuman_tpu.models.vae import (
+    count_vae_params, decoder_spec, encoder_spec, init_vae, vae_decode,
+    vae_encode)
+
+# 4x temporal / 8x spatial compression like the real config, tiny dims.
+TINY = VAEConfig(
+    base_dim=8, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
+    attn_scales=(), temporal_downsample=(False, True, True),
+    latent_mean=tuple([0.0] * 4), latent_std=tuple([1.0] * 4))
+
+
+@pytest.fixture(scope="module")
+def vae_params():
+    return init_vae(jax.random.key(0), TINY)
+
+
+def _video(t=9, h=32, w=32, b=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, 3, t, h, w)) * 0.5, jnp.float32)
+
+
+def test_encode_shape(vae_params):
+    x = _video(t=9)
+    z = vae_encode(vae_params, x, TINY, streaming=False)
+    # T=1+4k -> 1+k, spatial /8
+    assert z.shape == (1, 4, 3, 4, 4)
+
+
+def test_decode_shape(vae_params):
+    z = jnp.zeros((1, 4, 3, 4, 4), jnp.float32)
+    y = vae_decode(vae_params, z, TINY, streaming=False)
+    assert y.shape == (1, 3, 9, 32, 32)
+
+
+def test_encode_streaming_matches_full(vae_params):
+    x = _video(t=13)
+    z_full = vae_encode(vae_params, x, TINY, streaming=False)
+    z_stream = vae_encode(vae_params, x, TINY, streaming=True)
+    np.testing.assert_allclose(np.asarray(z_stream), np.asarray(z_full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_decode_streaming_matches_full(vae_params):
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 4)), jnp.float32)
+    y_full = vae_decode(vae_params, z, TINY, streaming=False, clamp=False)
+    y_stream = vae_decode(vae_params, z, TINY, streaming=True, clamp=False)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_encode_is_temporally_causal(vae_params):
+    """Changing future frames must not affect earlier latent frames."""
+    x1 = _video(t=9, seed=1)
+    x2 = np.asarray(x1).copy()
+    x2[:, :, 5:] += 10.0  # frames 5.. affect latent frames >= 2 only
+    z1 = vae_encode(vae_params, x1, TINY, streaming=False)
+    z2 = vae_encode(vae_params, jnp.asarray(x2), TINY, streaming=False)
+    np.testing.assert_allclose(np.asarray(z1[:, :, :1]),
+                               np.asarray(z2[:, :, :1]), atol=1e-5)
+
+
+def test_single_frame_roundtrip_shapes(vae_params):
+    """t2i path: a single frame encodes to a single latent frame."""
+    x = _video(t=1)
+    z = vae_encode(vae_params, x, TINY, streaming=True)
+    assert z.shape == (1, 4, 1, 4, 4)
+    y = vae_decode(vae_params, z, TINY, streaming=True)
+    assert y.shape == (1, 3, 1, 32, 32)
+
+
+def test_latent_normalisation_applied():
+    cfg = dataclasses.replace(
+        TINY, latent_mean=tuple([1.0] * 4), latent_std=tuple([2.0] * 4))
+    params = init_vae(jax.random.key(0), cfg)
+    x = _video(t=5)
+    z_raw = vae_encode(params, x, TINY, streaming=False)      # mean0/std1
+    z_norm = vae_encode(params, x, cfg, streaming=False)
+    np.testing.assert_allclose(np.asarray(z_norm),
+                               (np.asarray(z_raw) - 1.0) / 2.0, atol=1e-5)
+
+
+def test_decode_output_clamped(vae_params):
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(1, 4, 2, 4, 4)) * 50, jnp.float32)
+    y = vae_decode(vae_params, z, TINY, streaming=False)
+    assert float(jnp.max(y)) <= 1.0 and float(jnp.min(y)) >= -1.0
+
+
+def test_jit_streaming_encode_decode(vae_params):
+    x = _video(t=9)
+    enc = jax.jit(lambda p, x: vae_encode(p, x, TINY, streaming=True))
+    dec = jax.jit(lambda p, z: vae_decode(p, z, TINY, streaming=True))
+    z = enc(vae_params, x)
+    y = dec(vae_params, z)
+    assert y.shape == x.shape
+
+
+def test_spec_matches_reference_structure():
+    """Real config: 55 cached convs total like count_conv3d on the torch
+    side would report for encoder+decoder (SURVEY §7.3 item 4 orders the
+    cache by traversal; here we pin the layer counts)."""
+    cfg = VAEConfig()
+    es, ds = encoder_spec(cfg), decoder_spec(cfg)
+    assert es[0] == ("conv_in", 3, 96)
+    assert es[-1] == ("head", 384, 32)
+    assert ds[0] == ("conv_in", 16, 384)
+    assert ds[-1] == ("head", 96, 3)
+    # encoder: 2 res/scale x4 scales + 2 middle res + 3 resamples + attn
+    assert sum(1 for it in es if it[0] == "res") == 10
+    assert sum(1 for it in ds if it[0] == "res") == 14
+    assert sum(1 for it in es if it[0] == "resample") == 3
+    assert sum(1 for it in ds if it[0] == "resample") == 3
