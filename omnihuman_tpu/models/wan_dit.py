@@ -232,8 +232,16 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
 
 def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
                    seq_lens, cfg: WanModelConfig, policy: DTypePolicy,
-                   attn_impl: str):
-    """One transformer block. x, e0 fp32 (reference model.py:279-330)."""
+                   attn_impl: str, audio_ctx=None):
+    """One transformer block. x, e0 fp32 (reference model.py:279-330).
+
+    audio_ctx: optional [B, La, dim] audio tokens; when the block params
+    carry an 'audio_attn' adapter (OmniHuman, omni/model.py), they are
+    injected via an extra zero-init-gated cross-attention after the text
+    cross-attention (README.md:121-129 'injects tokens into MMDiT via
+    cross-attention' — the wiring the reference never finished,
+    SURVEY §2.6 caveat).
+    """
     cd = policy.compute
     # AdaLN: modulation table + time projection, fp32, 6 chunks
     e = bp["modulation"][None].astype(jnp.float32) + e0     # [B, 6, dim]
@@ -256,6 +264,17 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
     y = _cross_attention(bp["cross_attn"], h, context, context_lens, cfg,
                          policy, attn_impl)
     x = x + y.astype(jnp.float32)
+
+    # OmniHuman audio injection (adapter params present only in omni models)
+    if audio_ctx is not None and "audio_attn" in bp:
+        ap = bp["audio_attn"]
+        h = layer_norm(x, ap["norm"]["w"], ap["norm"]["b"], eps=cfg.eps,
+                       out_dtype=jnp.float32)
+        y = _cross_attention(
+            {k: ap[k] for k in ("q", "k", "v", "o", "norm_q", "norm_k")},
+            h, audio_ctx, None, dataclasses.replace(cfg, model_type="t2v"),
+            policy, attn_impl)
+        x = x + y.astype(jnp.float32) * ap["gate"].astype(jnp.float32)
 
     # FFN with AdaLN modulation
     h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
@@ -317,6 +336,7 @@ def wan_model_forward(
     attn_impl: str = "auto",
     collect_layers: Optional[Sequence[int]] = None,
     token_sharding=None,
+    audio_ctx: Optional[jnp.ndarray] = None,
 ):
     """Velocity prediction v = model(x_t, t, context).
 
@@ -373,7 +393,7 @@ def wan_model_forward(
     block_fn = functools.partial(
         _block_forward, context=ctx, context_lens=context_lens,
         rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
-        cfg=cfg, policy=policy, attn_impl=attn_impl)
+        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
 
     if collect_layers is not None:
         # Python loop variant that exposes per-layer activations.

@@ -1,0 +1,134 @@
+"""Sapiens-308 keypoint processor + person-detector glue (host-side).
+
+Capability parity with reference Omnihuman/keypoint_processor.py:16-235
+(`SapiensKeypointProcessor`) and detector_utils.py:25-158: TorchScript
+Sapiens-Goliath pose backbone (308 keypoints) with optional person
+detector; crop→(768,1024)→heatmaps→UDP decode→normalized keypoints;
+Gaussian heatmap synthesis.
+
+The Sapiens .pt2 model and mmdet RTMDet are external artifacts; both are
+pluggable here. Without them, `extract_keypoints` returns None (the
+dataset then tracks LANDMARK_DETECTION_FAILED and degrades, matching the
+reference's failure path). The detector protocol accepts any callable
+image → [N, 5] boxes; a trivial full-frame detector is the default
+(reference also falls back to full-frame when detector is absent,
+keypoint_processor.py:96-103).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from omnihuman_tpu.omni.pose_utils import (
+    nms, top_down_affine_transform, udp_decode)
+from omnihuman_tpu.utils.logging import logger
+
+
+def full_frame_detector(image: np.ndarray) -> np.ndarray:
+    """Fallback detector: the whole frame is one 'person' box."""
+    h, w = image.shape[:2]
+    return np.array([[0, 0, w - 1, h - 1, 1.0]], np.float32)
+
+
+class TorchScriptPoseBackbone:
+    """Wraps a TorchScript Sapiens model (torch CPU is available here)."""
+
+    def __init__(self, model_path: str, device: str = "cpu"):
+        import torch
+        self.torch = torch
+        self.model = torch.jit.load(model_path, map_location=device)
+        self.model.eval()
+        self.device = device
+
+    def __call__(self, crop: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 crop → [K, h, w] heatmaps."""
+        torch = self.torch
+        x = torch.from_numpy(crop.astype(np.float32) / 255.0)
+        x = (x - torch.tensor([0.485, 0.456, 0.406])) / torch.tensor(
+            [0.229, 0.224, 0.225])
+        x = x.permute(2, 0, 1)[None].to(self.device)
+        with torch.no_grad():
+            out = self.model(x)
+        return out[0].cpu().numpy()
+
+
+class SapiensKeypointProcessor:
+    """308-keypoint extraction pipeline."""
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        detector: Optional[Callable] = None,
+        num_keypoints: int = 308,
+        input_size: Tuple[int, int] = (768, 1024),
+        heatmap_size: Tuple[int, int] = (192, 256),
+        nms_threshold: float = 0.3,
+        det_score_threshold: float = 0.3,
+    ):
+        self.num_keypoints = num_keypoints
+        self.input_size = input_size
+        self.heatmap_size = heatmap_size
+        self.nms_threshold = nms_threshold
+        self.det_score_threshold = det_score_threshold
+        self.detector = detector or full_frame_detector
+        self.backbone = None
+        if checkpoint_path:
+            try:
+                self.backbone = TorchScriptPoseBackbone(checkpoint_path)
+                logger.info(f"Loaded Sapiens backbone: {checkpoint_path}")
+            except Exception as e:
+                logger.warning(f"Sapiens load failed ({e}); "
+                               "keypoint extraction disabled")
+
+    def detect_person(self, image: np.ndarray) -> Optional[np.ndarray]:
+        """Best person bbox after score filter + NMS
+        (detector_utils.py:49-158)."""
+        dets = np.asarray(self.detector(image), np.float32)
+        if dets.ndim != 2 or len(dets) == 0:
+            return None
+        dets = dets[dets[:, 4] >= self.det_score_threshold]
+        if len(dets) == 0:
+            return None
+        keep = nms(dets, self.nms_threshold)
+        return dets[keep[0]] if keep else None
+
+    def extract_keypoints(self, image: np.ndarray
+                          ) -> Optional[np.ndarray]:
+        """[H, W, 3] uint8 frame → [K, 3] (x, y, conf) normalized to the
+        frame, or None on failure (keypoint_processor.py:85-153)."""
+        if self.backbone is None:
+            return None
+        try:
+            bbox = self.detect_person(image)
+            if bbox is None:
+                return None
+            crop, center, scale = top_down_affine_transform(
+                image, bbox, self.input_size)
+            heatmaps = self.backbone(crop)                 # [K, h, w]
+            kp_in, scores = udp_decode(heatmaps, self.input_size)
+            # map crop coordinates back to the original frame
+            kp = kp_in / np.array(self.input_size, np.float32)  # 0..1 crop
+            kp = kp * scale[None, :] + (center[None, :]
+                                        - 0.5 * scale[None, :])
+            h, w = image.shape[:2]
+            kp_norm = kp / np.array([w, h], np.float32)
+            out = np.concatenate(
+                [kp_norm, scores[:, None]], axis=-1).astype(np.float32)
+            if out.shape[0] != self.num_keypoints:
+                pad = np.zeros((self.num_keypoints, 3), np.float32)
+                pad[:out.shape[0]] = out[:self.num_keypoints]
+                out = pad
+            return out
+        except Exception as e:
+            logger.error(f"keypoint extraction failed: {e}")
+            return None
+
+    def generate_heatmaps(self, keypoints: np.ndarray,
+                          heatmap_size: Optional[Tuple[int, int]] = None,
+                          sigma: float = 2.0) -> np.ndarray:
+        """[K, 3] → [K, H, W] (keypoint_processor.py:157-192)."""
+        from omnihuman_tpu.omni.dataset import generate_heatmaps
+        hs = heatmap_size or (self.heatmap_size[1], self.heatmap_size[0])
+        return generate_heatmaps(keypoints, hs, sigma=sigma)

@@ -1,0 +1,309 @@
+"""OmniHuman conditioned DiT — multi-modal condition injection, FINISHED.
+
+Capability parity with reference Omnihuman/omnihuman_wan_t2v.py:13-508
+(`OmniConditionsModule` / `OmniHumanWanT2V`), which builds condition tokens
+but never wires them into the DiT (its `extra_conditions=` kwarg is not
+accepted by WanModel.forward — SURVEY §2.6 caveat). Here the injection is
+implemented per the spec (reference README.md:117-154):
+
+  - AUDIO (README.md:121-129): wav2vec features → MLP (Linear→SiLU→Linear,
+    omnihuman_wan_t2v.py:140-145) → adjacent-frame concat + merge →
+    per-block zero-init-gated CROSS-ATTENTION into the DiT
+    (models/wan_dit.py audio_ctx path).
+  - POSE (README.md:131-137): heatmap sequence → pose-guider Conv3d stack
+    (K→128→256→dim/4 with (1,2,2) strides, omnihuman_wan_t2v.py:147-156)
+    → projected to patch-token space and ADDED to the patch embedding —
+    mathematically identical to stacking along the channel axis with
+    zero-init extra input channels, but leaves base weights untouched.
+  - REFERENCE (README.md:146-154): VAE latent of the reference image →
+    SAME patch embedding → tokens PACKED after the video tokens in
+    self-attention, distinguished by RoPE temporal component: reference
+    tokens at frame index 0, video tokens shifted by +1.
+  - TEXT: the unchanged Wan cross-attention branch (README.md:139-143).
+  - temporal embedding [1, T, dim] added per latent frame
+    (omnihuman_wan_t2v.py:159-161).
+
+Condition dropout (the per-condition activation ratios of the 3-stage
+strategy, omni_config.yaml:72-102) is realised as multiplicative [B]
+masks so one compiled graph serves every drop pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from omnihuman_tpu.configs.wan import DTypePolicy, WanModelConfig
+from omnihuman_tpu.models import wan_dit
+from omnihuman_tpu.models.wan_dit import _linear, _linear_init
+from omnihuman_tpu.ops.rope import rope_angles_3d
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class OmniModelConfig:
+    """Omni-conditions dimensions (omni_config.yaml + omnihuman_wan_t2v.py)."""
+
+    base: WanModelConfig = WanModelConfig()
+    audio_dim: int = 1024          # wav2vec feature width (yaml audio_dim)
+    num_keypoints: int = 308       # Sapiens-308 (omni_config.yaml:33)
+    num_frames: int = 49           # latent frames for temporal embed
+    pose_hidden: Tuple[int, int] = (128, 256)
+
+    @property
+    def dim(self) -> int:
+        return self.base.dim
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def init_omni_conditions(key: jax.Array, cfg: OmniModelConfig) -> Params:
+    ks = jax.random.split(key, 12)
+    dim = cfg.dim
+    h1, h2 = cfg.pose_hidden
+    c4 = dim // 4
+
+    def conv3(k, cin, cout):
+        fan = cin * 27
+        a = 1.0 / math.sqrt(fan)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (3, 3, 3, cin, cout),
+                                        jnp.float32, -a, a),
+                "b": jax.random.uniform(kb, (cout,), jnp.float32, -a, a)}
+
+    return {
+        # audio MLP (omnihuman_wan_t2v.py:140-145) + adjacent-frame merge
+        "audio_fc1": _linear_init(ks[0], cfg.audio_dim, dim),
+        "audio_fc2": _linear_init(ks[1], dim, dim),
+        "audio_merge": _linear_init(ks[2], 2 * dim, dim),
+        # pose guider (omnihuman_wan_t2v.py:147-156)
+        "pose_conv1": conv3(ks[3], cfg.num_keypoints, h1),
+        "pose_conv2": conv3(ks[4], h1, h2),
+        "pose_conv3": conv3(ks[5], h2, c4),
+        # projects guider features of one patch to a token delta; zero-init
+        # so the pretrained backbone is untouched at step 0
+        "pose_proj": {
+            "w": jnp.zeros((c4 * cfg.base.patch_size[1]
+                            * cfg.base.patch_size[2], dim)),
+            "b": jnp.zeros((dim,))},
+        # temporal embedding (omnihuman_wan_t2v.py:159-161)
+        "temporal_embed": jax.random.normal(
+            ks[6], (1, cfg.num_frames, dim)) / dim ** 0.5,
+    }
+
+
+def _audio_adapter_init(key, dim):
+    ks = jax.random.split(key, 5)
+    lin = lambda k: _linear_init(k, dim, dim)
+    return {
+        "norm": {"w": jnp.ones((dim,)), "b": jnp.zeros((dim,))},
+        "q": lin(ks[0]), "k": lin(ks[1]), "v": lin(ks[2]),
+        # zero-init output proj + learnable scalar gate: injection is a
+        # no-op at initialisation (adapter-style, preserves pretrained Wan)
+        "o": {"w": jnp.zeros((dim, dim)), "b": jnp.zeros((dim,))},
+        "norm_q": {"w": jnp.ones((dim,))},
+        "norm_k": {"w": jnp.ones((dim,))},
+        "gate": jnp.ones(()),
+    }
+
+
+def init_omni_model(key: jax.Array, cfg: OmniModelConfig,
+                    base_params: Optional[Params] = None) -> Params:
+    """Full omni model: base Wan DiT (+audio adapters in every block) +
+    condition encoders."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = (base_params if base_params is not None
+            else wan_dit.init_wan_model(k1, cfg.base))
+    adapter_keys = jax.random.split(k2, cfg.base.num_layers)
+    adapters = [_audio_adapter_init(k, cfg.dim) for k in adapter_keys]
+    base = dict(base)
+    base["blocks"] = dict(base["blocks"])
+    base["blocks"]["audio_attn"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *adapters)
+    return {"base": base, "cond": init_omni_conditions(k3, cfg)}
+
+
+# ---------------------------------------------------------------------------
+# condition encoders
+
+
+def process_audio(cond: Params, audio: jnp.ndarray,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """[B, T, audio_dim] → [B, T, dim] tokens: MLP then adjacent-frame
+    concat (omnihuman_wan_t2v.py:180-200; README.md:127) merged back to
+    dim (the reference leaves the 2*dim concat dangling)."""
+    x = _linear(cond["audio_fc1"], audio, compute_dtype)
+    x = jax.nn.silu(x)
+    x = _linear(cond["audio_fc2"], x)
+    if x.shape[1] > 1:
+        pairs = jnp.concatenate([x, jnp.roll(x, -1, axis=1)], axis=-1)
+        x = _linear(cond["audio_merge"], pairs)
+    return x
+
+
+def process_pose(cond: Params, pose: jnp.ndarray,
+                 patch_size: Tuple[int, int, int],
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """[B, K, F, H*8?, W*8?] heatmaps → per-patch token deltas [B, L, dim].
+
+    Guider strides (1,2,2)x2 reduce spatial 4x; the final projection folds
+    the remaining patch_size into tokens. Input heatmaps are expected at
+    (latent_H*2, latent_W*2) resolution so that after the two stride-2
+    convs the map aligns with the latent grid (H/2, W/2 per patch cell of
+    (1,2,2)) — i.e. one guider cell per DiT patch.
+    """
+    from omnihuman_tpu.models.vae import _conv3d
+    x = pose.astype(compute_dtype)
+    x = jax.nn.relu(_conv3d(x, cond["pose_conv1"]["w"].astype(compute_dtype),
+                            cond["pose_conv1"]["b"].astype(compute_dtype),
+                            padding="causal"))
+    x = jax.nn.relu(_conv3d(x, cond["pose_conv2"]["w"].astype(compute_dtype),
+                            cond["pose_conv2"]["b"].astype(compute_dtype),
+                            stride=(1, 2, 2), padding="causal"))
+    x = jax.nn.relu(_conv3d(x, cond["pose_conv3"]["w"].astype(compute_dtype),
+                            cond["pose_conv3"]["b"].astype(compute_dtype),
+                            stride=(1, 2, 2), padding="causal"))
+    # x: [B, dim/4, F, h', w'] with (h', w') == latent grid/patch
+    b, c, f, h, w = x.shape
+    pt, ph, pw = patch_size
+    # one token per (f, h, w) guider cell == one DiT patch
+    x = x.transpose(0, 2, 3, 4, 1).reshape(b, f * h * w, c)
+    # fold in patch spatial extent via the projection (c*ph*pw → dim);
+    # guider cell already covers the patch, so tile features
+    x = jnp.tile(x, (1, 1, ph * pw))
+    return _linear(cond["pose_proj"], x)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def omni_model_forward(
+    params: Params,
+    x: jnp.ndarray,                  # [B, C, F, H, W] noisy latents
+    t: jnp.ndarray,                  # [B]
+    context: jnp.ndarray,            # [B, text_len, text_dim]
+    *,
+    cfg: OmniModelConfig,
+    audio: Optional[jnp.ndarray] = None,        # [B, Ta, audio_dim]
+    pose: Optional[jnp.ndarray] = None,         # [B, K, F, 4h', 4w']
+    ref_latent: Optional[jnp.ndarray] = None,   # [B, C, 1, H, W]
+    cond_mask: Optional[Dict[str, jnp.ndarray]] = None,  # [B] per modality
+    context_lens: Optional[jnp.ndarray] = None,
+    policy: DTypePolicy = DTypePolicy(),
+    remat: bool = True,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Velocity prediction with omni-conditions injected.
+
+    cond_mask: {"audio"/"pose"/"reference": [B] in {0,1}} — the training
+    strategy's per-condition activation (omnihuman_trainer.py:330-335)
+    as multiplicative masks (single compiled graph for all patterns).
+    """
+    base_cfg = cfg.base
+    bp = params["base"]
+    cond = params["cond"]
+    b, _, f, h, w = x.shape
+    pt, ph, pw = base_cfg.patch_size
+    grid = (f // pt, h // ph, w // pw)
+    n_video = grid[0] * grid[1] * grid[2]
+
+    def mask_of(name):
+        if cond_mask is None or name not in cond_mask:
+            return None
+        return cond_mask[name].reshape(b, 1, 1).astype(jnp.float32)
+
+    # ---- video tokens (+ pose delta + temporal embed)
+    tokens = wan_dit._patchify(bp, x, base_cfg, policy)       # [B, Lv, dim]
+    if pose is not None:
+        pd = process_pose(cond, pose, base_cfg.patch_size)
+        m = mask_of("pose")
+        if m is not None:
+            pd = pd * m
+        tokens = tokens + pd.astype(tokens.dtype)
+    # temporal embedding per latent frame, broadcast over spatial cells
+    te = cond["temporal_embed"][:, :grid[0]].astype(jnp.float32)  # [1,F,dim]
+    te = jnp.repeat(te, grid[1] * grid[2], axis=1)                # [1,Lv,dim]
+    tokens = tokens + te
+
+    # ---- reference tokens packed after video tokens (zero-t RoPE)
+    if ref_latent is not None:
+        ref_tokens = wan_dit._patchify(bp, ref_latent, base_cfg, policy)
+        m = mask_of("reference")
+        if m is not None:
+            ref_tokens = ref_tokens * m
+        tokens = jnp.concatenate([tokens, ref_tokens], axis=1)
+        rg = (ref_latent.shape[2] // pt, grid[1], grid[2])
+        # video frames shifted +1; reference at temporal index 0
+        sin_v, cos_v = rope_angles_3d(grid, base_cfg.head_dim, time_offset=1)
+        sin_r, cos_r = rope_angles_3d(rg, base_cfg.head_dim, time_offset=0)
+        rope_sin = jnp.concatenate([sin_v, sin_r], axis=0)
+        rope_cos = jnp.concatenate([cos_v, cos_r], axis=0)
+    else:
+        rope_sin, rope_cos = rope_angles_3d(grid, base_cfg.head_dim)
+
+    seq_len = tokens.shape[1]
+
+    # ---- audio tokens
+    audio_ctx = None
+    if audio is not None:
+        audio_ctx = process_audio(cond, audio)
+        m = mask_of("audio")
+        if m is not None:
+            audio_ctx = audio_ctx * m
+
+    # ---- run the DiT on the packed sequence
+    v = _forward_packed(bp, tokens, t, context, base_cfg, seq_len,
+                        rope_sin, rope_cos, context_lens, policy, remat,
+                        attn_impl, audio_ctx, grid, n_video)
+    return v
+
+
+def _forward_packed(bp, tokens, t, context, cfg, seq_len, rope_sin,
+                    rope_cos, context_lens, policy, remat, attn_impl,
+                    audio_ctx, grid, n_video):
+    """wan_dit forward body operating on pre-built tokens (video+ref)."""
+    import functools
+    b = tokens.shape[0]
+    seq_lens = jnp.full((b,), seq_len, dtype=jnp.int32)
+
+    e = wan_dit.sinusoidal_embedding_1d(cfg.freq_dim, t)
+    e = _linear(bp["time_fc1"], e, jnp.float32)
+    e = jax.nn.silu(e)
+    e = _linear(bp["time_fc2"], e)
+    e0 = _linear(bp["time_proj"], jax.nn.silu(e)).reshape(b, 6, cfg.dim)
+
+    ctx = _linear(bp["text_fc1"], context, jnp.float32)
+    ctx = jax.nn.gelu(ctx, approximate=True)
+    ctx = _linear(bp["text_fc2"], ctx)
+
+    block_fn = functools.partial(
+        wan_dit._block_forward, context=ctx, context_lens=context_lens,
+        rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
+        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
+
+    def scan_body(carry, blk):
+        fn = block_fn
+        if remat:
+            fn = jax.checkpoint(
+                fn, policy=jax.checkpoint_policies.nothing_saveable)
+        return fn(blk, carry, e0), None
+
+    x_out, _ = jax.lax.scan(scan_body, tokens, bp["blocks"])
+
+    hp = bp["head"]
+    he = hp["modulation"][None].astype(jnp.float32) + e[:, None]
+    hx = wan_dit.layer_norm(x_out, eps=cfg.eps, out_dtype=jnp.float32)
+    hx = hx * (1.0 + he[:, 1][:, None]) + he[:, 0][:, None]
+    out = hx @ hp["w"] + hp["b"]
+
+    # drop reference tokens before unpatchify: only video tokens decode
+    out = out[:, :n_video]
+    return wan_dit._unpatchify(out, grid, cfg).astype(jnp.float32)

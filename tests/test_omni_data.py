@@ -1,0 +1,245 @@
+"""Data-plane tests: tracker, dataset, heatmaps, pose utils, eval suite."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from omnihuman_tpu.omni.dataset import (
+    AudioFeatureExtractor, OmniHumanDataset, generate_heatmaps, read_wav)
+from omnihuman_tpu.omni.evaluate import (
+    FrechetInceptionDistance, HandQualityEvaluator, LipSyncEvaluator,
+    OmniHumanEvaluator, frechet_distance, inception_score)
+from omnihuman_tpu.omni.pose_utils import (
+    get_heatmap_maximum, nms, refine_keypoints_dark_udp, udp_decode)
+from omnihuman_tpu.omni.tracker import (
+    ProblematicVideoTracker, VideoEvent, VideoEventData, cleanup_failed_videos,
+    parse_event_log)
+
+
+# ---------------------------------------------------------------------------
+# tracker
+
+
+def test_tracker_events_and_summary(tmp_path):
+    ProblematicVideoTracker.reset()
+    tr = ProblematicVideoTracker(tmp_path / "bad")
+    tr.track("/data/a.mp4", VideoEvent.NO_AUDIO, {"why": "none"})
+    tr.track("/data/a.mp4", VideoEvent.VIDEO_TOO_SHORT, {"frames": 3})
+    tr.track("/data/b.mp4", VideoEvent.PROCESSING_ERROR, {"e": "boom"})
+    assert tr.get_problematic_videos() == {"/data/a.mp4", "/data/b.mp4"}
+    assert tr.event_counts[VideoEvent.NO_AUDIO] == 1
+    tr.save_summary()
+    assert (tmp_path / "bad" / "processing_summary.txt").exists()
+    assert (tmp_path / "bad" / "invalid_videos.txt").exists()
+
+    # singleton: second constructor returns the same instance
+    tr2 = ProblematicVideoTracker()
+    assert tr2 is tr
+
+    failures = parse_event_log(str(tmp_path / "bad" / "video_events.log"))
+    assert set(failures) == {"/data/a.mp4", "/data/b.mp4"}
+    ProblematicVideoTracker.reset()
+
+
+def test_cleanup_failed_videos(tmp_path):
+    vid = tmp_path / "x.mp4"
+    vid.write_bytes(b"fake")
+    log = tmp_path / "events.log"
+    log.write_text(f"2026-01-01 00:00:00\tno_audio\t{vid}\t{{}}\n")
+    handled = cleanup_failed_videos(str(log), action="move",
+                                    quarantine_dir=str(tmp_path / "q"))
+    assert handled == [str(vid)]
+    assert not vid.exists()
+    assert (tmp_path / "q" / "x.mp4").exists()
+
+
+# ---------------------------------------------------------------------------
+# audio features
+
+
+def _write_wav(path, sr=16000, seconds=1.0, freq=440.0):
+    t = np.linspace(0, seconds, int(sr * seconds), endpoint=False)
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def test_read_wav_and_mel_features(tmp_path):
+    p = tmp_path / "tone.wav"
+    _write_wav(p)
+    x, sr = read_wav(str(p))
+    assert sr == 16000 and abs(len(x) - 16000) < 2
+    ext = AudioFeatureExtractor(dim=64, n_mels=16, fps=16.0)
+    feats = ext(x, sr, num_frames=8)
+    assert feats.shape == (8, 64)
+    assert np.isfinite(feats).all()
+    # a pure tone should produce non-constant mel features
+    assert feats.std() > 0
+
+
+# ---------------------------------------------------------------------------
+# heatmaps + pose utils
+
+
+def test_generate_heatmaps_peak_location():
+    kp = np.array([[0.5, 0.25, 0.9], [0.1, 0.9, 0.0]], np.float32)
+    hm = generate_heatmaps(kp, (16, 16), sigma=1.5)
+    assert hm.shape == (2, 16, 16)
+    y, x = np.unravel_index(hm[0].argmax(), hm[0].shape)
+    assert (x, y) == (8, 4)
+    np.testing.assert_allclose(hm[1], 0.0)  # below confidence threshold
+
+
+def test_heatmap_roundtrip_decode():
+    """generate → udp_decode recovers the keypoint within a pixel."""
+    kp = np.array([[0.5, 0.5, 1.0]], np.float32)
+    hm = generate_heatmaps(kp, (32, 32), sigma=2.0)
+    pts, scores = udp_decode(hm, input_size=(32, 32))
+    np.testing.assert_allclose(pts[0], [16.5, 16.5], atol=1.5)
+    assert scores[0] > 0.9
+
+
+def test_heatmap_maximum():
+    hm = np.zeros((1, 8, 8), np.float32)
+    hm[0, 3, 5] = 1.0
+    locs, vals = get_heatmap_maximum(hm)
+    np.testing.assert_array_equal(locs[0], [5, 3])
+    assert vals[0] == 1.0
+
+
+def test_nms_suppresses_overlaps():
+    dets = np.array([
+        [0, 0, 10, 10, 0.9],
+        [1, 1, 11, 11, 0.8],   # overlaps the first
+        [20, 20, 30, 30, 0.7],
+    ], np.float32)
+    keep = nms(dets, 0.3)
+    assert keep == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# dataset (synthetic videos via cv2)
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    import cv2
+    d = tmp_path_factory.mktemp("videos")
+    for name in ("dancing_person", "talking_head"):
+        path = d / f"{name}.mp4"
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             16, (64, 64))
+        ok = vw.isOpened()
+        for i in range(20):
+            frame = np.full((64, 64, 3), i * 10 % 255, np.uint8)
+            vw.write(frame)
+        vw.release()
+        if not ok or not path.exists():
+            pytest.skip("cv2 VideoWriter unavailable in this environment")
+    _write_wav(d / "talking_head.wav")
+    return d
+
+
+def test_dataset_scan_and_annotations(video_dir, tmp_path):
+    ProblematicVideoTracker.reset()
+    tr = ProblematicVideoTracker(tmp_path / "track")
+    ds = OmniHumanDataset(
+        str(video_dir), num_frames=8, frame_size=(32, 32),
+        condition_ratios={"text": 1.0, "reference": 1.0, "audio": 0.5,
+                          "pose": 0.0},
+        tracker=tr, cache_dir=str(tmp_path / "cache"))
+    assert len(ds) == 2
+    assert (video_dir / "annotations.json").exists()
+    ann = {a["video_name"]: a for a in ds.annotations}
+    assert ann["talking_head.mp4"]["has_audio"] is True
+    assert ann["dancing_person.mp4"]["has_audio"] is False
+    ProblematicVideoTracker.reset()
+
+
+def test_dataset_getitem(video_dir, tmp_path):
+    ds = OmniHumanDataset(
+        str(video_dir), num_frames=8, frame_size=(32, 32), audio_dim=64,
+        condition_ratios={"text": 1.0, "reference": 1.0, "audio": 1.0,
+                          "pose": 0.0},
+        cache_dir=str(tmp_path / "cache2"))
+    # find the audio sample
+    for i in range(len(ds)):
+        s = ds[i]
+        assert s["frames"].shape == (3, 8, 32, 32)
+        assert s["frames"].min() >= -1.0 and s["frames"].max() <= 1.0
+        assert s["conditions"]["reference"].shape == (3, 1, 32, 32)
+        assert isinstance(s["conditions"]["text"], str)
+        if "audio" in s["conditions"]:
+            assert s["conditions"]["audio"].shape == (8, 64)
+
+
+def test_dataset_empty_fallback(tmp_path):
+    d = tmp_path / "empty_videos"
+    d.mkdir()
+    (d / "broken.mp4").write_bytes(b"not a video")
+    (d / "annotations.json").write_text(json.dumps([{
+        "relative_path": "broken.mp4", "video_name": "broken.mp4",
+        "total_frames": 100, "has_audio": False, "has_pose": False,
+    }]))
+    ds = OmniHumanDataset(str(d), num_frames=4, frame_size=(16, 16),
+                          cache_dir=str(tmp_path / "c3"))
+    s = ds[0]
+    assert s["metadata"].get("empty") is True
+    np.testing.assert_allclose(s["frames"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 16))
+    assert abs(frechet_distance(x, x.copy())) < 1e-6
+    y = rng.normal(loc=3.0, size=(200, 16))
+    assert frechet_distance(x, y) > 1.0
+
+
+def test_inception_score_bounds():
+    uniform = np.full((10, 4), 0.25)
+    assert abs(inception_score(uniform) - 1.0) < 1e-6
+    onehot = np.eye(4)[np.arange(10) % 4] * 0.97 + 0.01
+    assert inception_score(onehot) > 2.0
+
+
+def test_evaluator_batch_and_export(tmp_path):
+    rng = np.random.default_rng(0)
+    real = rng.normal(size=(2, 3, 4, 8, 8)).astype(np.float32)
+    fake = rng.normal(loc=0.5, size=(2, 3, 4, 8, 8)).astype(np.float32)
+    ev = OmniHumanEvaluator(output_dir=str(tmp_path / "ev"))
+    m = ev.evaluate_batch(real, fake,
+                          audio=rng.normal(size=(2, 4, 16)).astype(
+                              np.float32))
+    assert {"fid", "fvd", "sync_c", "hkc", "hkv"} <= set(m)
+    assert m["fvd"] > 0 and np.isfinite(m["fid"])
+    assert np.isnan(m["hkc"])  # no keypoint processor supplied — explicit
+
+
+def test_evaluator_model_driver(tmp_path):
+    rng = np.random.default_rng(1)
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"frames": rng.normal(size=(3, 4, 8, 8)).astype(
+                        np.float32),
+                    "conditions": {}}
+
+    ev = OmniHumanEvaluator(output_dir=str(tmp_path / "ev2"))
+    m = ev.evaluate_model(lambda s: s["frames"] * 0.9 + 0.01, DS(),
+                          num_samples=2, name="m0")
+    assert os.path.exists(tmp_path / "ev2" / "m0.json")
+    assert np.isfinite(m["fvd"])
