@@ -1,0 +1,163 @@
+"""Image-to-video generation pipeline.
+
+Capability parity with reference wan/image2video.py:129-350 (`WanI2V`):
+  - max_area-driven latent sizing snapped to patch multiples (":180-190")
+  - first-frame conditioning: mask channel block (frame 0 = 1, rest = 0,
+    grouped 4-per-latent-frame → 4 channels) concatenated with the VAE
+    latent of [img, 80 zero frames] → y [20, F_lat, h, w] (":208-245")
+  - CLIP 257-token image context prepended inside the DiT (img_emb)
+  - UniPC/DPM++ sampling at 40 steps with CFG, same jitted-loop design
+    as WanT2V.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnihuman_tpu.configs.wan import WanConfig
+from omnihuman_tpu.models import clip as clip_mod
+from omnihuman_tpu.models import vae as vae_mod
+from omnihuman_tpu.models import wan_dit
+from omnihuman_tpu.ops.rope import rope_angles_3d
+from omnihuman_tpu.pipelines.text2video import WanT2V
+from omnihuman_tpu.samplers.fm_solvers import FlowDPMSolver, FlowUniPCSolver
+
+
+class WanI2V(WanT2V):
+    """Wan image-to-video pipeline (extends the t2v pipeline with the CLIP
+    encoder and mask+reference-latent conditioning)."""
+
+    def __init__(self, config: WanConfig, checkpoint_dir: Optional[str] = None,
+                 mesh=None, init_seed: int = 0,
+                 param_dtype: jnp.dtype = jnp.bfloat16, tokenizer=None):
+        super().__init__(config, checkpoint_dir=checkpoint_dir, mesh=mesh,
+                         init_seed=init_seed, param_dtype=param_dtype,
+                         tokenizer=tokenizer)
+        assert config.clip is not None, "i2v config requires a CLIP encoder"
+        self.clip = clip_mod.CLIPModel(config.clip, init_seed=init_seed + 1)
+
+    def latent_size_for(self, img_hw: Tuple[int, int],
+                        max_area: int) -> Tuple[int, int]:
+        """(lat_h, lat_w) snapped to patch multiples (image2video.py:180-190)."""
+        h, w = img_hw
+        ar = h / w
+        lat_h = int(round(
+            np.sqrt(max_area * ar) // self.vae_stride[1]
+            // self.patch_size[1] * self.patch_size[1]))
+        lat_w = int(round(
+            np.sqrt(max_area / ar) // self.vae_stride[2]
+            // self.patch_size[2] * self.patch_size[2]))
+        return lat_h, lat_w
+
+    @staticmethod
+    def first_frame_mask(frame_num: int, lat_h: int, lat_w: int
+                         ) -> jnp.ndarray:
+        """[4, F_lat, lat_h, lat_w] mask: frame 0 active
+        (image2video.py:208-216: repeat frame-0 4x then group by 4)."""
+        msk = jnp.zeros((frame_num, lat_h, lat_w))
+        msk = msk.at[0].set(1.0)
+        msk = jnp.concatenate([jnp.repeat(msk[0:1], 4, axis=0), msk[1:]],
+                              axis=0)
+        f_lat = msk.shape[0] // 4
+        msk = msk.reshape(f_lat, 4, lat_h, lat_w)
+        return msk.transpose(1, 0, 2, 3)
+
+    def generate(
+        self,
+        input_prompt: str,
+        img: np.ndarray,                  # [3, H, W] in [-1, 1]
+        max_area: int = 720 * 1280,
+        frame_num: int = 81,
+        shift: float = 5.0,
+        sample_solver: str = "unipc",
+        sampling_steps: int = 40,
+        guide_scale: float = 5.0,
+        n_prompt: str = "",
+        seed: int = -1,
+        context: Optional[jnp.ndarray] = None,
+        context_null: Optional[jnp.ndarray] = None,
+        return_latents: bool = False,
+    ):
+        cfg = self.config
+        if n_prompt == "":
+            n_prompt = cfg.sample_neg_prompt
+        seed = seed if seed >= 0 else int(np.random.randint(0, 2 ** 31))
+
+        img = jnp.asarray(img, jnp.float32)
+        lat_h, lat_w = self.latent_size_for(img.shape[1:], max_area)
+        h, w = lat_h * self.vae_stride[1], lat_w * self.vae_stride[2]
+        f_lat = (frame_num - 1) // self.vae_stride[0] + 1
+
+        if context is None:
+            context, _ = self.encode_text([input_prompt])
+            context_null, _ = self.encode_text([n_prompt])
+
+        # CLIP image context (257 tokens)
+        clip_fea = self.clip.visual(img[None])
+
+        # reference latent: [img, zeros x (frame_num-1)] through the VAE
+        import jax.image
+        img_r = jax.image.resize(img[None], (1, 3, h, w), method="bicubic")
+        vid = jnp.concatenate(
+            [img_r[:, :, None], jnp.zeros((1, 3, frame_num - 1, h, w))],
+            axis=2)
+        ref_lat = vae_mod.vae_encode(self.vae_params, vid, cfg.vae,
+                                     streaming=True)[0]   # [16, F_lat, h, w]
+        msk = self.first_frame_mask(frame_num, lat_h, lat_w)
+        y = jnp.concatenate([msk, ref_lat], axis=0)[None]  # [1, 20, F, h, w]
+
+        noise = jax.random.normal(
+            jax.random.key(seed), (1, cfg.vae.z_dim, f_lat, lat_h, lat_w),
+            jnp.float32)
+
+        seq_len = self.seq_len_for((cfg.vae.z_dim, f_lat, lat_h, lat_w))
+        latents = _i2v_sample_jit(
+            self.params, noise, y, clip_fea, context, context_null,
+            model_cfg=cfg.model, policy=cfg.policy,
+            patch_size=self.patch_size, seq_len=seq_len, shift=shift,
+            solver=sample_solver, steps=sampling_steps,
+            guide_scale=guide_scale,
+            num_train_timesteps=cfg.num_train_timesteps)
+        if return_latents:
+            return latents
+        video = vae_mod.vae_decode(self.vae_params, latents, cfg.vae,
+                                   streaming=True)
+        return video[0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_cfg", "policy", "patch_size", "seq_len", "shift", "solver",
+    "steps", "guide_scale", "num_train_timesteps"))
+def _i2v_sample_jit(params, noise, y, clip_fea, context, context_null, *,
+                    model_cfg, policy, patch_size, seq_len, shift, solver,
+                    steps, guide_scale, num_train_timesteps):
+    grid = (noise.shape[2] // patch_size[0],
+            noise.shape[3] // patch_size[1],
+            noise.shape[4] // patch_size[2])
+    rope_sin, rope_cos = rope_angles_3d(grid, model_cfg.head_dim,
+                                        seq_len=seq_len)
+    sol_cls = FlowUniPCSolver if solver == "unipc" else FlowDPMSolver
+    sol = sol_cls(steps=steps, shift=shift,
+                  num_train_timesteps=num_train_timesteps)
+
+    ctx2 = jnp.concatenate([context, context_null], axis=0)
+    y2 = jnp.concatenate([y, y], axis=0)
+    clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+
+    def model_fn(x, t, i):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((x2.shape[0],), t, jnp.float32)
+        v = wan_dit.wan_model_forward(
+            params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
+            rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
+            remat=False, clip_fea=clip2, y=y2)
+        v_cond, v_uncond = jnp.split(v, 2, axis=0)
+        return v_uncond + guide_scale * (v_cond - v_uncond)
+
+    return sol.sample_loop(model_fn, noise)

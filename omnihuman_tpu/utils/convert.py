@@ -261,3 +261,82 @@ def convert_t5(sd: StateDict, cfg: T5Config) -> Dict[str, Any]:
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm": {"w": jnp.asarray(sd["norm.weight"])},
     }
+
+
+# ---------------------------------------------------------------------------
+# CLIP (XLM-RoBERTa ViT-H/14)
+
+
+def convert_clip(sd: StateDict, cfg) -> Dict[str, Any]:
+    """XLMRobertaCLIP state dict (reference clip.py:328-499 +
+    xlm_roberta.py:76-144 module names). The XLM-R per-block q/k/v linears
+    are fused into our qkv layout; vision to_qkv is already fused."""
+    import jax
+
+    def vit_block(i):
+        b = f"visual.transformer.{i}"
+        return {
+            "norm1": {"w": jnp.asarray(sd[f"{b}.norm1.weight"]),
+                      "b": jnp.asarray(sd[f"{b}.norm1.bias"])},
+            "qkv": _lin(sd, f"{b}.attn.to_qkv"),
+            "proj": _lin(sd, f"{b}.attn.proj"),
+            "norm2": {"w": jnp.asarray(sd[f"{b}.norm2.weight"]),
+                      "b": jnp.asarray(sd[f"{b}.norm2.bias"])},
+            "fc1": _lin(sd, f"{b}.mlp.0"),
+            "fc2": _lin(sd, f"{b}.mlp.2"),
+        }
+
+    pe = np.asarray(sd["visual.patch_embedding.weight"])  # [O, 3, p, p]
+    visual = {
+        "patch_embedding": {"w": jnp.asarray(pe.reshape(pe.shape[0], -1).T)},
+        "cls_embedding": jnp.asarray(sd["visual.cls_embedding"]),
+        "pos_embedding": jnp.asarray(sd["visual.pos_embedding"]),
+        "pre_norm": {"w": jnp.asarray(sd["visual.pre_norm.weight"]),
+                     "b": jnp.asarray(sd["visual.pre_norm.bias"])},
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[vit_block(i) for i in range(cfg.vision_layers)]),
+        "post_norm": {"w": jnp.asarray(sd["visual.post_norm.weight"]),
+                      "b": jnp.asarray(sd["visual.post_norm.bias"])},
+        "head": jnp.asarray(sd["visual.head"]),
+    }
+
+    def xlm_block(i):
+        b = f"textual.blocks.{i}"
+        qw = np.asarray(sd[f"{b}.attn.q.weight"])
+        kw = np.asarray(sd[f"{b}.attn.k.weight"])
+        vw = np.asarray(sd[f"{b}.attn.v.weight"])
+        qb = np.asarray(sd[f"{b}.attn.q.bias"])
+        kb = np.asarray(sd[f"{b}.attn.k.bias"])
+        vb = np.asarray(sd[f"{b}.attn.v.bias"])
+        return {
+            "norm1": {"w": jnp.asarray(sd[f"{b}.norm1.weight"]),
+                      "b": jnp.asarray(sd[f"{b}.norm1.bias"])},
+            "qkv": {"w": jnp.asarray(
+                        np.concatenate([qw.T, kw.T, vw.T], axis=1)),
+                    "b": jnp.asarray(np.concatenate([qb, kb, vb]))},
+            "proj": _lin(sd, f"{b}.attn.o"),
+            "norm2": {"w": jnp.asarray(sd[f"{b}.norm2.weight"]),
+                      "b": jnp.asarray(sd[f"{b}.norm2.bias"])},
+            "fc1": _lin(sd, f"{b}.ffn.0"),
+            "fc2": _lin(sd, f"{b}.ffn.2"),
+        }
+
+    textual = {
+        "token_embedding": jnp.asarray(sd["textual.token_embedding.weight"]),
+        "type_embedding": jnp.asarray(sd["textual.type_embedding.weight"]),
+        "pos_embedding": jnp.asarray(sd["textual.pos_embedding.weight"]),
+        "norm": {"w": jnp.asarray(sd["textual.norm.weight"]),
+                 "b": jnp.asarray(sd["textual.norm.bias"])},
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[xlm_block(i) for i in range(cfg.text_layers)]),
+        "head_fc1": {"w": jnp.asarray(
+            np.asarray(sd["textual.head.0.weight"]).T)},
+        "head_fc2": {"w": jnp.asarray(
+            np.asarray(sd["textual.head.2.weight"]).T)},
+    }
+    out = {"visual": visual, "textual": textual}
+    if "log_scale" in sd:
+        out["log_scale"] = jnp.asarray(sd["log_scale"])
+    return out

@@ -1,0 +1,84 @@
+"""Ring attention parity tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihuman_tpu.ops.attention import attention_xla
+from omnihuman_tpu.ops.ring_attention import ring_attention
+from omnihuman_tpu.parallel import MeshConfig, create_mesh
+
+
+@pytest.fixture(scope="module")
+def sp_mesh():
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    return create_mesh(MeshConfig(data=jax.device_count() // 4, fsdp=1,
+                                  sp=4))
+
+
+def test_ring_matches_dense(sp_mesh, rng):
+    b, l, n, d = 2, 32, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+
+    got = ring_attention(q, k, v, sp_mesh, compute_dtype=jnp.float32)
+    want = attention_xla(q, k, v, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ring_varlen_global_mask(sp_mesh, rng):
+    """seq_lens cross shard boundaries: 20 valid of 32 over 4 shards of 8
+    — shard 2 half-valid, shard 3 fully masked."""
+    b, l, n, d = 2, 32, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    lens = jnp.asarray([20, 9], jnp.int32)
+
+    got = ring_attention(q, k, v, sp_mesh, seq_lens=lens,
+                         compute_dtype=jnp.float32)
+    want = attention_xla(q, k, v, k_lens=lens, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ring_grad_matches_dense(sp_mesh, rng):
+    b, l, n, d = 1, 16, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+
+    def loss_ring(q, k, v):
+        o = ring_attention(q, k, v, sp_mesh, compute_dtype=jnp.float32)
+        return jnp.sum(jnp.square(o))
+
+    def loss_dense(q, k, v):
+        o = attention_xla(q, k, v, compute_dtype=jnp.float32)
+        return jnp.sum(jnp.square(o))
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gr, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_ring_inside_jit_with_sharded_inputs(sp_mesh, rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    b, l, n, d = 1, 32, 2, 8
+    q = jax.device_put(
+        jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32),
+        NamedSharding(sp_mesh, P(None, "sp")))
+
+    @jax.jit
+    def f(q):
+        return ring_attention(q, q, q, sp_mesh, compute_dtype=jnp.float32)
+
+    got = f(q)
+    want = attention_xla(q, q, q, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
