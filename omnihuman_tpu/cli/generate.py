@@ -1,0 +1,102 @@
+"""Generation CLI — t2v / t2i / i2v over the named model registry.
+
+Capability parity with the reference's top-level generation entry points
+(wan CLI surface: --task/--size/--frame_num/--sample_steps/... flags;
+seaweed_apt/generate.py teacher-data mode is `cli/teacher_data.py`).
+Sequence parallelism is exposed as --sp_size (replacing --ulysses_size /
+--ring_size: both map onto the single `sp` mesh axis here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("omnihuman-tpu generate")
+    p.add_argument("--task", default="t2v-1.3B",
+                   help="model registry key (t2v-1.3B, t2v-14B, i2v-14B, "
+                        "t2i-14B, t2v-1.3B-small)")
+    p.add_argument("--size", default="480*832",
+                   help="HxW key from SIZE_CONFIGS, e.g. 480*832")
+    p.add_argument("--frame_num", type=int, default=None)
+    p.add_argument("--prompt", default="a cat walking in the rain")
+    p.add_argument("--image", default=None, help="reference image (i2v)")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--sample_solver", default="unipc",
+                   choices=("unipc", "dpm++"))
+    p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--sample_shift", type=float, default=None)
+    p.add_argument("--sample_guide_scale", type=float, default=None)
+    p.add_argument("--base_seed", type=int, default=-1)
+    p.add_argument("--n_prompt", default="")
+    p.add_argument("--save_file", default=None)
+    p.add_argument("--sp_size", type=int, default=1,
+                   help="sequence-parallel degree (sp mesh axis)")
+    p.add_argument("--fsdp_size", type=int, default=1,
+                   help="parameter-sharding degree (fsdp mesh axis)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from omnihuman_tpu.configs import SIZE_CONFIGS, SUPPORTED_SIZES, WAN_CONFIGS
+    from omnihuman_tpu.utils.logging import logger
+    from omnihuman_tpu.utils.media import cache_video
+
+    cfg = WAN_CONFIGS[args.task]
+    if args.size in SIZE_CONFIGS:
+        if args.size not in SUPPORTED_SIZES[args.task]:
+            sys.exit(f"size {args.size} unsupported for {args.task}; "
+                     f"choose from {SUPPORTED_SIZES[args.task]}")
+        h, w = SIZE_CONFIGS[args.size]
+    else:
+        try:   # custom "H*W" sizes for smoke runs / small models
+            h, w = (int(x) for x in args.size.split("*"))
+        except ValueError:
+            sys.exit(f"size {args.size} not parseable; registry sizes: "
+                     f"{list(SIZE_CONFIGS)}")
+    frame_num = args.frame_num or (1 if args.task == "t2i-14B"
+                                   else cfg.frame_num)
+
+    mesh = None
+    if args.sp_size > 1 or args.fsdp_size > 1:
+        from omnihuman_tpu.parallel import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(data=-1, fsdp=args.fsdp_size,
+                                      sp=args.sp_size))
+
+    if args.task.startswith("i2v"):
+        import numpy as np
+        from PIL import Image
+        from omnihuman_tpu.pipelines.image2video import WanI2V
+        pipe = WanI2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+        img = np.asarray(Image.open(args.image).convert("RGB"),
+                         np.float32).transpose(2, 0, 1) / 127.5 - 1.0
+        video = pipe.generate(
+            args.prompt, img, max_area=h * w, frame_num=frame_num,
+            shift=args.sample_shift or cfg.sample_shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=args.sample_steps or cfg.sample_steps,
+            guide_scale=args.sample_guide_scale or cfg.sample_guide_scale,
+            n_prompt=args.n_prompt, seed=args.base_seed)
+    else:
+        from omnihuman_tpu.pipelines.text2video import WanT2V
+        pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+        video = pipe.generate(
+            args.prompt, size=(w, h), frame_num=frame_num,
+            shift=args.sample_shift or cfg.sample_shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=args.sample_steps or cfg.sample_steps,
+            guide_scale=args.sample_guide_scale or cfg.sample_guide_scale,
+            n_prompt=args.n_prompt, seed=args.base_seed)
+
+    out = args.save_file or f"{args.task.replace('-', '_')}_{args.size.replace('*','x')}.mp4"
+    path = cache_video(video, out, fps=cfg.sample_fps)
+    logger.info(f"saved {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ functions as a static value.
 """
 
 from omnihuman_tpu.configs.wan import (
+    TINY_TEST,
     CLIPConfig,
     T5Config,
     VAEConfig,
@@ -22,6 +23,8 @@ from omnihuman_tpu.configs.wan import (
 
 WAN_CONFIGS = {
     "t2v-14B": T2V_14B,
+    # CI/smoke config (not part of the reference registry)
+    "tiny-test": TINY_TEST,
     "t2v-1.3B": T2V_1_3B,
     "t2v-1.3B-small": T2V_1_3B_SMALL,
     "i2v-14B": I2V_14B,
@@ -45,6 +48,7 @@ MAX_AREA_CONFIGS = {
 
 SUPPORTED_SIZES = {
     "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "tiny-test": tuple(SIZE_CONFIGS.keys()),
     "t2v-1.3B": ("480*832", "832*480"),
     "t2v-1.3B-small": ("480*832", "832*480"),
     "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),

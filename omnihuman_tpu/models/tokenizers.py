@@ -53,14 +53,28 @@ def canonicalize(text: str,
 class HuggingfaceTokenizer:
 
     def __init__(self, name: str, seq_len: Optional[int] = None,
-                 clean: Optional[str] = None, **kwargs):
+                 clean: Optional[str] = None, fallback: bool = True,
+                 **kwargs):
         assert clean in (None, "whitespace", "lower", "canonicalize")
-        from transformers import AutoTokenizer
         self.name = name
         self.seq_len = seq_len
         self.clean = clean
-        self.tokenizer = AutoTokenizer.from_pretrained(name, **kwargs)
-        self.vocab_size = self.tokenizer.vocab_size
+        try:
+            from transformers import AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(name, **kwargs)
+            self.vocab_size = self.tokenizer.vocab_size
+        except Exception:
+            if not fallback:
+                raise
+            # offline environments without the HF tokenizer files: degrade
+            # to a deterministic hash tokenizer so pipelines stay runnable
+            # (text conditioning quality obviously suffers — log it)
+            import logging
+            logging.getLogger("omnihuman_tpu").warning(
+                f"tokenizer '{name}' unavailable; using offline hash "
+                "fallback")
+            self.tokenizer = _HashTokenizer(seq_len or 512)
+            self.vocab_size = self.tokenizer.vocab_size
 
     def __call__(self, sequence: Union[str, List[str]], return_mask=False,
                  **kwargs) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
@@ -89,3 +103,26 @@ class HuggingfaceTokenizer:
         if self.clean == "canonicalize":
             return canonicalize(basic_clean(text))
         return text
+
+
+class _HashTokenizer:
+    """Deterministic word-hash tokenizer (offline fallback only)."""
+
+    def __init__(self, seq_len: int, vocab_size: int = 256384):
+        self.seq_len = seq_len
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts, return_tensors="np", padding=None,
+                 truncation=None, max_length=None, **kw):
+        import hashlib
+        max_length = max_length or self.seq_len
+        ids = np.ones((len(texts), max_length), np.int32)   # pad id 1
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            words = t.split()[: max_length - 1]
+            for j, w in enumerate(words):
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                ids[i, j] = 2 + h % (self.vocab_size - 2)
+            ids[i, len(words)] = 0                          # eos
+            mask[i, : len(words) + 1] = 1
+        return {"input_ids": ids, "attention_mask": mask}

@@ -68,7 +68,7 @@ def _conv3d(x, w, b, stride=(1, 1, 1), padding="causal"):
         raise ValueError(padding)
     pad = [tpad, ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=stride, padding=pad,
+        x.astype(w.dtype), w, window_strides=stride, padding=pad,
         dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))
     return y + b[None, :, None, None, None]
 
@@ -89,7 +89,7 @@ def _conv2d(x, w, b, stride=(1, 1), padding="same"):
     else:
         raise ValueError(padding)
     y = jax.lax.conv_general_dilated(
-        xf, w, window_strides=stride, padding=pad,
+        xf.astype(w.dtype), w, window_strides=stride, padding=pad,
         dimension_numbers=("NCHW", "HWIO", "NCHW"))
     y = y + b[None, :, None, None]
     oh, ow = y.shape[2], y.shape[3]

@@ -5,16 +5,18 @@ wheels (wan/modules/attention.py:94-127): online-softmax tiling so the
 [Lq, Lk] score matrix never materialises in HBM, with varlen masking via
 per-sample k_lens, optional causal and sliding-window masks.
 
-Layout: kernels operate on [B, N, L, D] (batch, heads, seq, head_dim) so the
-trailing (L, D) axes map onto (sublane, lane) tiles; D=128 for every Wan
-model (dim/heads = 1536/12 = 5120/40 = 128) which exactly fills the lane
-dimension and feeds the MXU full 128x128 tiles.
-
-Forward grid (B, N, nq, nk): the nk axis is 'arbitrary' (sequential) — the
-(m, l, acc) online-softmax state lives in VMEM scratch across nk steps and
-the output block is flushed once per (b, n, iq). Backward runs two kernels:
-dk/dv with k-blocks resident scanning q-blocks, dq with q-blocks resident
-scanning k-blocks — the standard two-pass flash backward, no atomics.
+Performance design:
+  - Kernels index the NATIVE [B, L, N*D] activation layout directly via
+    BlockSpec offsets (block (1, block_q, D) at last-dim block index n),
+    so the [B,L,N,D] -> [B,N,L,D] transposes (3 full-tensor HBM round
+    trips per attention at 32k tokens) disappear entirely.
+  - D = 128 for every Wan model — exactly one lane tile; block_q/block_k
+    default to 512 to keep the MXU fed and amortise the VPU softmax.
+  - The log-sum-exp tensor is only produced under differentiation
+    (custom_vjp fwd rule); plain inference skips the write.
+  - Backward is the standard two-pass flash backward: dk/dv with k-blocks
+    resident scanning q-blocks, then dq with q-blocks resident — no
+    atomics.
 """
 
 from __future__ import annotations
@@ -27,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -36,28 +38,22 @@ def _block_sizes(lq: int, lk: int, bq: int, bk: int) -> Tuple[int, int]:
     return min(bq, lq), min(bk, lk)
 
 
-def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
-    size = x.shape[axis]
-    rem = (-size) % mult
+def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    rem = (-x.shape[1]) % mult
     if rem == 0:
         return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, rem)
-    return jnp.pad(x, pad)
+    return jnp.pad(x, ((0, 0), (0, rem), (0, 0)))
 
 
-def _mask_block(
-    iq, ik, block_q, block_k, k_len, lk_total, lq_total,
-    causal: bool, window: Tuple[int, int],
-):
-    """Boolean [block_q, block_k] mask of valid (q, k) pairs for this tile."""
+def _mask_block(iq, ik, block_q, block_k, k_len, lk_total, lq_total,
+                causal: bool, window: Tuple[int, int]):
+    """Boolean [block_q, block_k] mask of valid (q, k) pairs."""
     q_idx = iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
     k_idx = ik * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
     mask = k_idx < k_len
     if causal or window != (-1, -1):
-        # align diagonals when Lq != Lk (same convention as attention_xla)
         qg = q_idx + (lk_total - lq_total)
         if causal:
             mask &= k_idx <= qg
@@ -73,10 +69,14 @@ def _mask_block(
 # forward
 
 
-def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, scale, causal, window,
-                lq_total, lk_total, block_q, block_k, num_k_blocks,
-                precision):
+def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
+                window, lq_total, lk_total, block_q, block_k, num_k_blocks,
+                precision, with_lse):
+    if with_lse:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
+        lse_ref = None
     iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -85,24 +85,22 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]                       # [bq, D]
-    k = k_ref[0, 0]                       # [bk, D]
-    v = v_ref[0, 0]                       # [bk, D]
+    q = q_ref[0]                          # [bq, D]
+    k = k_ref[0]                          # [bk, D]
+    v = v_ref[0]
     k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision) * scale      # [bq, bk]
+        preferred_element_type=jnp.float32, precision=precision) * scale
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
     s = jnp.where(mask, s, NEG_INF)
 
-    m_prev = m_ref[:, 0]                                 # [bq]
+    m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    alpha = jnp.exp(m_prev - m_cur)                      # [bq]
-    p = jnp.exp(s - m_cur[:, None])                      # [bq, bk]
-    # fully-masked tiles: exp(NEG_INF - NEG_INF) = 1 — kill those rows
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
     p = jnp.where(mask, p, 0.0)
 
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
@@ -117,50 +115,56 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _finalize():
         l = l_ref[:, 0]
         denom = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / denom[:, None]).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, NEG_INF, m_ref[:, 0] + jnp.log(denom))
-        lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
+        o_ref[0] = (acc_ref[:] / denom[:, None]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l == 0.0, NEG_INF,
+                            m_ref[:, 0] + jnp.log(denom))
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
-def _flash_fwd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
-               interpret, precision):
-    b, n, lq, d = q.shape
-    lk = k.shape[2]
+def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
+                  interpret, precision, with_lse, head_dim):
+    """q/k/v: [B, L, N*D]; returns ([B, Lq, N*D], lse [B, N, Lq] | None)."""
+    b, lq, nd = q.shape
+    lk = k.shape[1]
+    d = head_dim
+    n = nd // d
     block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
-    qp = _pad_to(q, 2, block_q)
-    kp = _pad_to(k, 2, block_k)
-    vp = _pad_to(v, 2, block_k)
-    lq_p, lk_p = qp.shape[2], kp.shape[2]
+    qp = _pad_seq(q, block_q)
+    kp = _pad_seq(k, block_k)
+    vp = _pad_seq(v, block_k)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
     nq, nk = lq_p // block_q, lk_p // block_k
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, window=window,
         lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-        num_k_blocks=nk, precision=precision)
+        num_k_blocks=nk, precision=precision, with_lse=with_lse)
 
-    out, lse = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((b,), lambda b_, n_, iq, ik: (0,),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, block_q, d), lambda b_, n_, iq, ik: (b_, iq, n_)),
+        pl.BlockSpec((1, block_k, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
+        pl.BlockSpec((1, block_k, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, n_, iq, ik: (b_, iq, n_)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_p, nd), q.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, block_q, 128),
+            lambda b_, n_, iq, ik: (b_ * n + n_, iq, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * n, lq_p, 128), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=(b, n, nq, nk),
-        in_specs=[
-            pl.BlockSpec((b,), lambda b_, n_, iq, ik: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, n, lq_p, 128), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # m
             pltpu.VMEM((block_q, 128), jnp.float32),   # l
@@ -177,7 +181,11 @@ def _flash_fwd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
         ),
         interpret=interpret,
     )(k_lens, qp, kp, vp)
-    return out[:, :, :lq], lse[:, :, :lq, 0]
+
+    if with_lse:
+        out, lse = res
+        return out[:, :lq], lse[:, :lq, 0].reshape(b, n, lq)
+    return res[0][:, :lq], None
 
 
 # ---------------------------------------------------------------------------
@@ -195,37 +203,36 @@ def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]            # [bq, D]
-    k = k_ref[0, 0]            # [bk, D]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]          # [bq, D]
-    lse = lse_ref[0, 0][:, 0]  # [bq]
-    delta = delta_ref[0, 0][:, 0]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0]
+    delta = delta_ref[0][:, 0]
     k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision) * scale          # [bq, bk]
+        preferred_element_type=jnp.float32, precision=precision) * scale
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
-    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)      # [bq, bk]
+    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
 
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [bk, D]
+        preferred_element_type=jnp.float32, precision=precision)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [bq, bk]
+        preferred_element_type=jnp.float32, precision=precision)
     ds = p * (dp - delta[:, None]) * scale
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [bk, D]
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(iq == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -238,18 +245,17 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0][:, 0]
-    delta = delta_ref[0, 0][:, 0]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0]
+    delta = delta_ref[0][:, 0]
     k_len = klen_ref[pl.program_id(0)]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision) * scale
+        preferred_element_type=jnp.float32, precision=precision) * scale
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
     p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
@@ -263,34 +269,40 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
 def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
-               precision):
-    q, k, v, k_lens, out, lse = res
-    b, n, lq, d = q.shape
-    lk = k.shape[2]
+               precision, head_dim):
+    q, k, v, k_lens, out, lse = res        # q [B, L, N*D]; lse [B, N, Lq]
+    b, lq, nd = q.shape
+    lk = k.shape[1]
+    d = head_dim
+    n = nd // d
     block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
 
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)                                   # [B, N, Lq]
+    # delta = rowsum(do * o) per head: [B, N, Lq]
+    delta = jnp.sum(
+        (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, lq, n, d), axis=-1).transpose(0, 2, 1)
 
-    qp = _pad_to(q, 2, block_q)
-    dop = _pad_to(g.astype(q.dtype), 2, block_q)
-    kp = _pad_to(k, 2, block_k)
-    vp = _pad_to(v, 2, block_k)
-    lq_p, lk_p = qp.shape[2], kp.shape[2]
+    qp = _pad_seq(q, block_q)
+    dop = _pad_seq(g.astype(q.dtype), block_q)
+    kp = _pad_seq(k, block_k)
+    vp = _pad_seq(v, block_k)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
     nq, nk = lq_p // block_q, lk_p // block_k
-    # lse/delta as [B, N, Lq_p, 128] lane-broadcast for aligned loads
-    lse_p = _pad_to(lse, 2, block_q)[..., None] * jnp.ones((128,), jnp.float32)
-    delta_p = _pad_to(delta, 2, block_q)[..., None] * jnp.ones(
-        (128,), jnp.float32)
 
-    common_in = [
-        pl.BlockSpec((b,), lambda b_, n_, i, j: (0,),
-                     memory_space=pltpu.SMEM),
-    ]
+    def pad_bn(x):  # [B, N, Lq] → [B*N, Lq_p, 128] lane-broadcast
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, lq_p - lq)))
+        return jnp.broadcast_to(
+            x.reshape(b * n, lq_p, 1), (b * n, lq_p, 128))
+
+    lse_p = pad_bn(lse)
+    delta_p = pad_bn(delta)
+
+    klen_spec = pl.BlockSpec((b,), lambda b_, n_, i, j: (0,),
+                             memory_space=pltpu.SMEM)
 
     dkdv_kernel = functools.partial(
         _bwd_dkdv_kernel, scale=scale, causal=causal, window=window,
@@ -299,29 +311,30 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
     dk, dv = pl.pallas_call(
         dkdv_kernel,
         grid=(b, n, nk, nq),
-        in_specs=common_in + [
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, n_, ik, iq: (b_, n_, iq, 0)),
+        in_specs=[
+            klen_spec,
+            pl.BlockSpec((1, block_q, d),
+                         lambda b_, n_, ik, iq: (b_, iq, n_)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, ik, n_)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, ik, n_)),
+            pl.BlockSpec((1, block_q, d),
+                         lambda b_, n_, ik, iq: (b_, iq, n_)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda b_, n_, ik, iq: (b_ * n + n_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda b_, n_, ik, iq: (b_ * n + n_, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, ik, iq: (b_, n_, ik, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, ik, n_)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, ik, iq: (b_, ik, n_)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, lk_p, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, lk_p, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b, lk_p, nd), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -341,30 +354,27 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, n, nq, nk),
-        in_specs=common_in + [
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, n_, iq, ik: (b_, n_, ik, 0)),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+        in_specs=[
+            klen_spec,
+            pl.BlockSpec((1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, iq, n_)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, ik, n_)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b_, n_, iq, ik: (b_, ik, n_)),
+            pl.BlockSpec((1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, iq, n_)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda b_, n_, iq, ik: (b_ * n + n_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda b_, n_, iq, ik: (b_ * n + n_, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b_, n_, iq, ik: (b_, n_, iq, 0)),
+            pl.BlockSpec((1, block_q, d),
+                         lambda b_, n_, iq, ik: (b_, iq, n_)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, lq_p, d), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((b, lq_p, nd), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -372,39 +382,45 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
         interpret=interpret,
     )(k_lens, qp, kp, vp, dop, lse_p, delta_p)[0]
 
-    return (dq[:, :, :lq].astype(q.dtype),
-            dk[:, :, :lk].astype(k.dtype),
-            dv[:, :, :lk].astype(v.dtype))
+    return (dq[:, :lq].astype(q.dtype),
+            dk[:, :lk].astype(k.dtype),
+            dv[:, :lk].astype(v.dtype))
 
 
 # ---------------------------------------------------------------------------
-# public entry (accepts the [B, L, N, D] layout of ops.attention)
+# custom vjp over the [B, L, N*D] layout
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, k_lens, scale, causal, window, block_q, block_k,
-           interpret, precision):
-    out, _ = _flash_fwd(q, k, v, k_lens, scale, causal, window,
-                        block_q, block_k, interpret, precision)
+           interpret, precision, head_dim):
+    out, _ = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
+                           block_q, block_k, interpret, precision,
+                           with_lse=False, head_dim=head_dim)
     return out
 
 
 def _flash_fwd_rule(q, k, v, k_lens, scale, causal, window, block_q,
-                    block_k, interpret, precision):
-    out, lse = _flash_fwd(q, k, v, k_lens, scale, causal, window,
-                          block_q, block_k, interpret, precision)
+                    block_k, interpret, precision, head_dim):
+    out, lse = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
+                             block_q, block_k, interpret, precision,
+                             with_lse=True, head_dim=head_dim)
     return out, (q, k, v, k_lens, out, lse)
 
 
 def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
-                    precision, res, g):
+                    precision, head_dim, res, g):
     dq, dk, dv = _flash_bwd(res, g, scale, causal, window, block_q,
-                            block_k, interpret, precision)
+                            block_k, interpret, precision, head_dim)
     return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# public entry (accepts the [B, L, N, D] layout of ops.attention)
 
 
 def pallas_flash_attention(
@@ -436,21 +452,31 @@ def pallas_flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    if not interpret and d % 128 != 0:
+        # compiled TPU path needs lane-aligned head_dim (every Wan model
+        # has D=128); small test configs fall back to the dense path
+        from omnihuman_tpu.ops.attention import attention_xla
+        return attention_xla(
+            q, k, v, k_lens=k_lens, softmax_scale=softmax_scale,
+            q_scale=q_scale, causal=causal, window_size=window_size,
+            compute_dtype=compute_dtype)
+
     scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
     qc = q.astype(compute_dtype)
     if q_scale is not None:
         qc = qc * jnp.asarray(q_scale, compute_dtype)
 
-    # [B, L, N, D] -> [B, N, L, D]
-    qt = jnp.swapaxes(qc, 1, 2)
-    kt = jnp.swapaxes(k.astype(compute_dtype), 1, 2)
-    vt = jnp.swapaxes(v.astype(compute_dtype), 1, 2)
+    # [B, L, N, D] → [B, L, N*D]: no data movement, undoes the caller's
+    # head-split reshape
+    qf = qc.reshape(b, lq, n * d)
+    kf = k.astype(compute_dtype).reshape(b, lk, n * d)
+    vf = v.astype(compute_dtype).reshape(b, lk, n * d)
 
     if k_lens is None:
         k_lens = jnp.full((b,), lk, dtype=jnp.int32)
     else:
         k_lens = jnp.minimum(k_lens.astype(jnp.int32), lk)
 
-    out = _flash(qt, kt, vt, k_lens, scale, causal, tuple(window_size),
-                 int(block_q), int(block_k), bool(interpret), precision)
-    return jnp.swapaxes(out, 1, 2).astype(out_dtype)
+    out = _flash(qf, kf, vf, k_lens, scale, causal, tuple(window_size),
+                 int(block_q), int(block_k), bool(interpret), precision, d)
+    return out.reshape(b, lq, n, d).astype(out_dtype)

@@ -1,0 +1,64 @@
+"""Native (C++) data-plane library: parity with numpy + speed sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from omnihuman_tpu import native
+from omnihuman_tpu.omni.dataset import generate_heatmaps
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    if not native.available():
+        pytest.skip("libomnidata.so not built")
+    return True
+
+
+def test_version(lib_available):
+    assert native.load_library().omnidata_version() == 1
+
+
+def test_gaussian_heatmaps_matches_numpy(lib_available, rng):
+    t, k, h, w = 3, 16, 32, 32
+    kp = rng.uniform(0, 1, size=(t, k, 3)).astype(np.float32)
+    kp[:, ::3, 2] = 0.0    # some below confidence
+    got = native.gaussian_heatmaps(kp, (h, w), sigma=2.0)
+    want = np.stack([generate_heatmaps(kp[i], (h, w), sigma=2.0)
+                     for i in range(t)])
+    # native truncates the Gaussian beyond 5.26 sigma (values < 1e-6)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_frames_to_float_matches_numpy(lib_available, rng):
+    fr = rng.integers(0, 256, size=(4, 16, 16, 3)).astype(np.uint8)
+    got = native.frames_to_float(fr)
+    want = (fr.astype(np.float32) / 127.5 - 1.0).transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (3, 4, 16, 16)
+
+
+def test_pcm_mono_matches_numpy(lib_available, rng):
+    pcm = rng.integers(-32768, 32767, size=(2000,)).astype(np.int16)
+    got = native.pcm16_to_float_mono(pcm, channels=2)
+    want = (pcm.astype(np.float32) / 32768.0).reshape(-1, 2).mean(-1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_heatmap_speedup_sanity(lib_available, rng):
+    """Native should beat the python loop on the Sapiens-sized workload
+    (308 kp x 16 frames x 64x64)."""
+    t, k, h, w = 16, 308, 64, 64
+    kp = rng.uniform(0.05, 0.95, size=(t, k, 3)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    native.gaussian_heatmaps(kp, (h, w))
+    native_t = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(t):
+        generate_heatmaps(kp[i], (h, w))
+    numpy_t = time.perf_counter() - t0
+
+    assert native_t < numpy_t, (native_t, numpy_t)
