@@ -190,6 +190,11 @@ def _self_attention(p, x, rope_sin, rope_cos, seq_lens, cfg, policy,
 def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
     """x: [B, S, dim]; context: [B, Lc, dim] (reference model.py:164-230).
 
+    Sequence-parallel impls apply to SELF attention only — the text
+    context is short and replicated (the reference likewise keeps
+    cross-attention replicated under USP, xdit_context_parallel.py
+    — SURVEY §5.7).
+
     For i2v the first `clip_tokens` context entries are CLIP image tokens
     with separate K/V projections; their attention output is ADDED to the
     text-attention output before the output projection (model.py:211-229).
@@ -197,6 +202,8 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
     b, s, _ = x.shape
     n, d = cfg.num_heads, cfg.head_dim
     cd = policy.compute
+    if attn_impl in ("ring", "ulysses"):
+        attn_impl = "auto"
 
     xc = x.astype(cd)
     ctx = context.astype(cd)

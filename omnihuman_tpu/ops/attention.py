@@ -117,6 +117,21 @@ def flash_attention(
         implementation = (
             "pallas" if jax.default_backend() == "tpu" else "xla")
 
+    if implementation in ("ring", "ulysses"):
+        # sequence-parallel paths need the active mesh (parallel.use_mesh)
+        from omnihuman_tpu.parallel.mesh import current_mesh
+        mesh = current_mesh()
+        if mesh is None or mesh.shape.get("sp", 1) == 1:
+            implementation = ("pallas" if jax.default_backend() == "tpu"
+                              else "xla")
+        else:
+            from omnihuman_tpu.ops.ring_attention import (
+                ring_attention, ulysses_attention)
+            fn = (ring_attention if implementation == "ring"
+                  else ulysses_attention)
+            return fn(q, k, v, mesh, seq_lens=k_lens,
+                      softmax_scale=softmax_scale, compute_dtype=dtype)
+
     if implementation == "pallas":
         from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
         return pallas_flash_attention(

