@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence-parallel degree (sp mesh axis)")
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-sharding degree (fsdp mesh axis)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the generation")
     return p
 
 
@@ -67,6 +69,12 @@ def main(argv=None):
         mesh = create_mesh(MeshConfig(data=-1, fsdp=args.fsdp_size,
                                       sp=args.sp_size))
 
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from omnihuman_tpu.utils.logging import profile_trace
+        prof = profile_trace(args.profile)
+
     if args.task.startswith("i2v"):
         import numpy as np
         from PIL import Image
@@ -74,23 +82,27 @@ def main(argv=None):
         pipe = WanI2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
         img = np.asarray(Image.open(args.image).convert("RGB"),
                          np.float32).transpose(2, 0, 1) / 127.5 - 1.0
-        video = pipe.generate(
-            args.prompt, img, max_area=h * w, frame_num=frame_num,
-            shift=args.sample_shift or cfg.sample_shift,
-            sample_solver=args.sample_solver,
-            sampling_steps=args.sample_steps or cfg.sample_steps,
-            guide_scale=args.sample_guide_scale or cfg.sample_guide_scale,
-            n_prompt=args.n_prompt, seed=args.base_seed)
+        with prof:
+            video = pipe.generate(
+                args.prompt, img, max_area=h * w, frame_num=frame_num,
+                shift=args.sample_shift or cfg.sample_shift,
+                sample_solver=args.sample_solver,
+                sampling_steps=args.sample_steps or cfg.sample_steps,
+                guide_scale=(args.sample_guide_scale
+                             or cfg.sample_guide_scale),
+                n_prompt=args.n_prompt, seed=args.base_seed)
     else:
         from omnihuman_tpu.pipelines.text2video import WanT2V
         pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
-        video = pipe.generate(
-            args.prompt, size=(w, h), frame_num=frame_num,
-            shift=args.sample_shift or cfg.sample_shift,
-            sample_solver=args.sample_solver,
-            sampling_steps=args.sample_steps or cfg.sample_steps,
-            guide_scale=args.sample_guide_scale or cfg.sample_guide_scale,
-            n_prompt=args.n_prompt, seed=args.base_seed)
+        with prof:
+            video = pipe.generate(
+                args.prompt, size=(w, h), frame_num=frame_num,
+                shift=args.sample_shift or cfg.sample_shift,
+                sample_solver=args.sample_solver,
+                sampling_steps=args.sample_steps or cfg.sample_steps,
+                guide_scale=(args.sample_guide_scale
+                             or cfg.sample_guide_scale),
+                n_prompt=args.n_prompt, seed=args.base_seed)
 
     out = args.save_file or f"{args.task.replace('-', '_')}_{args.size.replace('*','x')}.mp4"
     path = cache_video(video, out, fps=cfg.sample_fps)

@@ -410,3 +410,77 @@ class OmniHumanDataset:
                     "conditions": samples[0]["conditions"].keys(),
                     "samples": samples,
                 }
+
+
+class Wav2VecFeatureExtractor:
+    """wav2vec 2.0 audio features (the spec's intended extractor,
+    reference README.md:124-128 — never wired in the reference, which
+    shipped torch.randn placeholders instead).
+
+    Uses transformers' Wav2Vec2Model when the weights are available
+    locally; otherwise raises at construction so callers can fall back to
+    AudioFeatureExtractor (log-mel) explicitly.
+    """
+
+    def __init__(self, model_name: str = "facebook/wav2vec2-base-960h",
+                 dim: int = 1024, fps: float = 16.0, device: str = "cpu"):
+        import torch
+        from transformers import Wav2Vec2Model
+        self.torch = torch
+        self.model = Wav2Vec2Model.from_pretrained(model_name).eval()
+        self.dim = dim
+        self.fps = fps
+
+    def __call__(self, waveform: np.ndarray, sr: int,
+                 num_frames: int) -> np.ndarray:
+        torch = self.torch
+        if sr != 16000:   # wav2vec expects 16 kHz
+            idx = np.linspace(0, len(waveform) - 1,
+                              int(len(waveform) * 16000 / sr))
+            waveform = np.interp(idx, np.arange(len(waveform)), waveform)
+        with torch.no_grad():
+            out = self.model(torch.from_numpy(
+                waveform.astype(np.float32))[None]).last_hidden_state[0]
+        feats = out.numpy()                       # [T50hz, 768]
+        # resample 50 Hz wav2vec frames onto video frames; tile to dim
+        idx = np.linspace(0, len(feats) - 1, num_frames).astype(int)
+        sel = feats[idx]
+        reps = int(np.ceil(self.dim / sel.shape[1]))
+        return np.tile(sel, (1, reps))[:, :self.dim].astype(np.float32)
+
+
+def _sanity_main():
+    """Dataset self-test (reference omnihuman_dataset.py main(),
+    ":1095-1201"): directory checks, annotation auto-creation, first-item
+    load, 2-item batch, PASS/FAIL log."""
+    import argparse
+    parser = argparse.ArgumentParser("omnihuman dataset sanity test")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--num_frames", type=int, default=8)
+    args = parser.parse_args()
+
+    ok = True
+    if not os.path.isdir(args.data_dir):
+        logger.error(f"data_dir missing: {args.data_dir}")
+        raise SystemExit(1)
+    ds = OmniHumanDataset(args.data_dir, num_frames=args.num_frames,
+                          condition_ratios={"text": 1.0, "reference": 1.0,
+                                            "audio": 0.5, "pose": 0.0})
+    logger.info(f"dataset size: {len(ds)}")
+    if len(ds) == 0:
+        logger.error("FAIL: no usable videos")
+        raise SystemExit(1)
+    s = ds[0]
+    logger.info(f"first item: frames {s['frames'].shape}, "
+                f"conditions {sorted(s['conditions'])}")
+    ok &= s["frames"].shape[0] == 3
+    if len(ds) >= 2:
+        batch = next(ds.batches(2, shuffle=False))
+        logger.info(f"2-item batch: {batch['frames'].shape}")
+        ok &= batch["frames"].shape[0] == 2
+    logger.info("dataset sanity test PASSED" if ok else "FAILED")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    _sanity_main()

@@ -107,3 +107,46 @@ def profile_trace(log_dir: str = "/tmp/jax_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+class MetricsLogger:
+    """Training-metrics sink (SURVEY §5.5): wandb when available
+    (reference logs G/D/R1/distill losses + LR via wandb/accelerator.log),
+    falling back to an append-only JSONL file — same call surface either
+    way."""
+
+    def __init__(self, project: str = "omnihuman-tpu",
+                 run_name: Optional[str] = None,
+                 out_dir: str = ".", config: Optional[dict] = None):
+        self._wandb = None
+        self._file = None
+        try:
+            import wandb
+            self._wandb = wandb
+            wandb.init(project=project, name=run_name,
+                       config=config or {})
+        except Exception:
+            import os
+            os.makedirs(out_dir, exist_ok=True)
+            path = f"{out_dir}/metrics_{run_name or 'run'}.jsonl"
+            self._file = open(path, "a")
+            logger.info(f"wandb unavailable; metrics → {path}")
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        else:
+            import json
+            import time as _time
+            rec = {"step": step, "ts": _time.time(),
+                   **{k: float(v) for k, v in metrics.items()
+                      if isinstance(v, (int, float))
+                      or hasattr(v, "item")}}
+            self._file.write(json.dumps(rec) + "\n")
+            self._file.flush()
+
+    def finish(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+        elif self._file is not None:
+            self._file.close()

@@ -1,0 +1,82 @@
+"""Mesh-sharded pipeline tests: WanT2V over (data, fsdp, sp) on the CPU
+mesh, plus golden-value regression anchors for numeric drift."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihuman_tpu.configs.wan import TINY_TEST
+from omnihuman_tpu.parallel import MeshConfig, create_mesh
+from omnihuman_tpu.pipelines.text2video import WanT2V
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "tiny_t2v_latents.npz")
+
+
+def _ctx(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.normal(size=(1, TINY_TEST.text_len, TINY_TEST.t5.dim)) * 0.1,
+        jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def sharded_pipe():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, sp=2))
+    p = WanT2V(TINY_TEST, checkpoint_dir=None, mesh=mesh,
+               param_dtype=jnp.float32)
+    rng = np.random.default_rng(42)
+    p.params["head"]["w"] = jnp.asarray(
+        rng.normal(size=p.params["head"]["w"].shape) * 0.1, jnp.float32)
+    return p
+
+
+@pytest.fixture(scope="module")
+def plain_pipe():
+    p = WanT2V(TINY_TEST, checkpoint_dir=None, param_dtype=jnp.float32)
+    rng = np.random.default_rng(42)
+    p.params["head"]["w"] = jnp.asarray(
+        rng.normal(size=p.params["head"]["w"].shape) * 0.1, jnp.float32)
+    return p
+
+
+def test_sharded_params_placement(sharded_pipe):
+    from omnihuman_tpu.parallel import infer_param_specs
+    # params live on the mesh; tiny leaves are (correctly) replicated —
+    # below MIN_SHARD_SIZE nothing gains from sharding
+    w = sharded_pipe.params["blocks"]["ffn_fc1"]["w"]
+    assert set(w.sharding.mesh.axis_names) == {"data", "fsdp", "sp"}
+    # the shape-driven rule shards the largest dim once leaves are big
+    # enough (threshold lowered to observe it at tiny sizes)
+    specs = infer_param_specs(sharded_pipe.params, min_size=1024)
+    assert "fsdp" in str(specs["blocks"]["ffn_fc1"]["w"])
+
+
+def test_sharded_generate_matches_unsharded(sharded_pipe, plain_pipe):
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=2, seed=11,
+              context=_ctx(0), context_null=_ctx(1), return_latents=True)
+    a = plain_pipe.generate("x", **kw)
+    b = sharded_pipe.generate("x", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_golden_latents_regression(plain_pipe):
+    """Anchored output for a fixed seed/config — catches silent numeric
+    drift across refactors. Regenerate deliberately with
+    REGEN_GOLDENS=1 when semantics change on purpose."""
+    lat = np.asarray(plain_pipe.generate(
+        "golden", size=(32, 32), frame_num=5, sampling_steps=3, seed=123,
+        guide_scale=4.0, context=_ctx(7), context_null=_ctx(8),
+        return_latents=True))
+    if os.environ.get("REGEN_GOLDENS") == "1" or not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez(GOLDEN, latents=lat)
+        pytest.skip("golden (re)generated")
+    want = np.load(GOLDEN)["latents"]
+    np.testing.assert_allclose(lat, want, atol=1e-4, rtol=1e-4)
