@@ -195,6 +195,7 @@ def omni_model_forward(
     audio: Optional[jnp.ndarray] = None,        # [B, Ta, audio_dim]
     pose: Optional[jnp.ndarray] = None,         # [B, K, F, 4h', 4w']
     ref_latent: Optional[jnp.ndarray] = None,   # [B, C, 1, H, W]
+    motion_latent: Optional[jnp.ndarray] = None,  # [B, C, M, H, W] prev clip
     cond_mask: Optional[Dict[str, jnp.ndarray]] = None,  # [B] per modality
     context_lens: Optional[jnp.ndarray] = None,
     policy: DTypePolicy = DTypePolicy(),
@@ -206,6 +207,12 @@ def omni_model_forward(
     cond_mask: {"audio"/"pose"/"reference": [B] in {0,1}} — the training
     strategy's per-condition activation (omnihuman_trainer.py:330-335)
     as multiplicative masks (single compiled graph for all patterns).
+
+    motion_latent: latent frames of the PREVIOUS clip, packed as extra
+    self-attention tokens at their true (past) temporal RoPE indices —
+    the spec's 'motion frames for long video generation'
+    (README.md:154). Temporal layout when present:
+        reference @ t=0, motion @ t=1..M, video @ t=M+1..
     """
     base_cfg = cfg.base
     bp = params["base"]
@@ -233,19 +240,37 @@ def omni_model_forward(
     te = jnp.repeat(te, grid[1] * grid[2], axis=1)                # [1,Lv,dim]
     tokens = tokens + te
 
-    # ---- reference tokens packed after video tokens (zero-t RoPE)
+    # ---- reference / motion tokens packed after video tokens
+    # (RoPE temporal layout: ref @ 0, motion @ 1..M, video @ M+1..)
+    extra_tokens = []
+    extra_tables = []
+    m_frames = 0
+    if motion_latent is not None:
+        m_frames = motion_latent.shape[2] // pt
+        mot_tokens = wan_dit._patchify(bp, motion_latent, base_cfg, policy)
+        mg = (m_frames, grid[1], grid[2])
+        sin_m, cos_m = rope_angles_3d(mg, base_cfg.head_dim, time_offset=1)
+        extra_tokens.append(mot_tokens)
+        extra_tables.append((sin_m, cos_m))
     if ref_latent is not None:
         ref_tokens = wan_dit._patchify(bp, ref_latent, base_cfg, policy)
         m = mask_of("reference")
         if m is not None:
             ref_tokens = ref_tokens * m
-        tokens = jnp.concatenate([tokens, ref_tokens], axis=1)
         rg = (ref_latent.shape[2] // pt, grid[1], grid[2])
-        # video frames shifted +1; reference at temporal index 0
-        sin_v, cos_v = rope_angles_3d(grid, base_cfg.head_dim, time_offset=1)
         sin_r, cos_r = rope_angles_3d(rg, base_cfg.head_dim, time_offset=0)
-        rope_sin = jnp.concatenate([sin_v, sin_r], axis=0)
-        rope_cos = jnp.concatenate([cos_v, cos_r], axis=0)
+        extra_tokens.append(ref_tokens)
+        extra_tables.append((sin_r, cos_r))
+
+    if extra_tokens:
+        video_offset = 1 + m_frames
+        sin_v, cos_v = rope_angles_3d(grid, base_cfg.head_dim,
+                                      time_offset=video_offset)
+        tokens = jnp.concatenate([tokens] + extra_tokens, axis=1)
+        rope_sin = jnp.concatenate([sin_v] + [t[0] for t in extra_tables],
+                                   axis=0)
+        rope_cos = jnp.concatenate([cos_v] + [t[1] for t in extra_tables],
+                                   axis=0)
     else:
         rope_sin, rope_cos = rope_angles_3d(grid, base_cfg.head_dim)
 

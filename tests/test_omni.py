@@ -150,6 +150,9 @@ def test_trainer_stage_loop(tmp_path, omni):
               StageConfig("s2", 2, {"text": 1.0, "reference": 1.0,
                                     "audio": 0.5, "pose": 0.13}))
     seen = []
+    # the trainer's jitted step donates its state — hand it a copy so the
+    # module-scoped fixture params survive for later tests
+    params = jax.tree.map(jnp.copy, params)
     trainer = OmniHumanTrainer(
         params, OCFG, stages=stages, learning_rate=1e-4,
         checkpoint_dir=str(tmp_path / "ck"), checkpoint_interval=100,
@@ -174,3 +177,22 @@ def test_lr_schedules():
     for kind in ("cosine", "linear", "constant", "bogus"):
         s = make_lr_schedule(kind, 1e-3, 10)
         assert np.isfinite(float(s(0))) and np.isfinite(float(s(9)))
+
+
+def test_motion_frames_long_video(omni):
+    """Previous-clip latents packed at past temporal indices
+    (README.md:154 'motion frames for long video generation')."""
+    params, batch = omni
+    rng = np.random.default_rng(11)
+    motion = jnp.asarray(rng.normal(size=(B, C, 2, H, W)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    kw = dict(cfg=OCFG, policy=FP32, remat=False)
+    v0 = omni_model_forward(params, batch["frames"], t, batch["context"],
+                            ref_latent=batch["reference"], **kw)
+    v1 = omni_model_forward(params, batch["frames"], t, batch["context"],
+                            ref_latent=batch["reference"],
+                            motion_latent=motion, **kw)
+    assert v1.shape == (B, 16, F, H, W)
+    assert np.isfinite(np.asarray(v1)).all()
+    # motion context participates in attention → output moves
+    assert not np.allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
