@@ -63,14 +63,15 @@ def main():
         vc, vu = jnp.split(v, 2, axis=0)
         return vu + 5.0 * (vc - vu)
 
-    v = cfg_step(params, x, t, ctx)
-    v.block_until_ready()
+    # NOTE: on this backend block_until_ready() does not truly block
+    # (queue-depth-1 backpressure); a scalar fetch is the honest sync.
+    float(jnp.sum(cfg_step(params, x, t, ctx)[:, 0, 0, 0, 0]))
 
     times = []
     for _ in range(8):
         t0 = time.perf_counter()
         v = cfg_step(params, x, t, ctx)
-        v.block_until_ready()
+        float(jnp.sum(v[:, 0, 0, 0, 0]))
         times.append((time.perf_counter() - t0) * 1e3)
     p50 = float(np.percentile(times, 50))
 

@@ -77,14 +77,15 @@ def evaluate_ema(
         return z - v
 
     latents = one_step(pipe.params, noise, ctx)
-    videos = vae_mod.vae_decode(pipe.vae_params, latents, cfg.vae,
-                                streaming=True)
+    videos = vae_mod.vae_decode_jit(pipe.vae_params, latents, cfg=cfg.vae,
+                                    streaming=True)
 
     # teacher's x0 = noise - v_teacher for PSNR/SSIM comparison
     x0_teacher = (np.asarray(noise)
                   - data["v_teacher"][:num_samples])
-    teacher_videos = vae_mod.vae_decode(
-        pipe.vae_params, jnp.asarray(x0_teacher), cfg.vae, streaming=True)
+    teacher_videos = vae_mod.vae_decode_jit(
+        pipe.vae_params, jnp.asarray(x0_teacher), cfg=cfg.vae,
+        streaming=True)
 
     psnrs, ssims = [], []
     for i in range(n):

@@ -27,14 +27,20 @@ TPU-first redesign (SURVEY §7.1 'VAE as scan'):
     PyTree as the scan carry — bounded memory for 81-frame 480x832 clips,
     O(1) compile time in clip length, zero host round-trips.
 
-  Every conv cache is a fixed [B, C, kt-1, H, W] buffer holding the last
+  Every conv cache is a fixed [B, kt-1, H, W, C] buffer holding the last
   frames of the zero-padded input stream, so chunk 0 and chunk j share one
   step function (the reference's <2-frame cache patch-up logic,
   vae.py:207-215, becomes unnecessary by construction).
+
+Layout: the public API speaks the reference's [B, C, T, H, W]; internals
+run CHANNELS-LAST ([B, T, H, W, C]) — the layout XLA:TPU lowers convs to
+natively (channels on the lane dimension). This alone is a ~4x decode
+speedup over channels-second at 480x832.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -42,7 +48,6 @@ import jax
 import jax.numpy as jnp
 
 from omnihuman_tpu.configs.wan import VAEConfig
-from omnihuman_tpu.ops.attention import flash_attention
 
 Params = Dict[str, Any]
 
@@ -50,11 +55,11 @@ CACHE_T = 2  # kernel_t - 1 for the 3x3x3 causal convs (vae.py:14)
 
 
 # ---------------------------------------------------------------------------
-# primitive layers
+# primitive layers (x: [B, T, H, W, C] channels-last)
 
 
 def _conv3d(x, w, b, stride=(1, 1, 1), padding="causal"):
-    """x: [B, C, T, H, W]; w: [kt, kh, kw, cin, cout].
+    """x: [B, T, H, W, C]; w: [kt, kh, kw, cin, cout].
 
     padding='causal': zero-pad (kt-1) frames at the front, SAME on h/w.
     padding='valid_t': no time padding (caller supplies history), SAME h/w.
@@ -69,18 +74,18 @@ def _conv3d(x, w, b, stride=(1, 1, 1), padding="causal"):
     pad = [tpad, ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
     y = jax.lax.conv_general_dilated(
         x.astype(w.dtype), w, window_strides=stride, padding=pad,
-        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))
-    return y + b[None, :, None, None, None]
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + b
 
 
 def _conv2d(x, w, b, stride=(1, 1), padding="same"):
-    """Per-frame conv: x [B, C, T, H, W]; w [kh, kw, cin, cout].
+    """Per-frame conv: x [B, T, H, W, C]; w [kh, kw, cin, cout].
 
     padding='corner': ZeroPad2d((0,1,0,1)) + VALID, the reference's
     downsample padding (vae.py:88-90).
     """
-    b_, c, t, h, wd = x.shape
-    xf = x.transpose(0, 2, 1, 3, 4).reshape(b_ * t, c, h, wd)
+    b_, t, h, wd, c = x.shape
+    xf = x.reshape(b_ * t, h, wd, c)
     kh, kw = w.shape[:2]
     if padding == "same":
         pad = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
@@ -90,55 +95,52 @@ def _conv2d(x, w, b, stride=(1, 1), padding="same"):
         raise ValueError(padding)
     y = jax.lax.conv_general_dilated(
         xf.astype(w.dtype), w, window_strides=stride, padding=pad,
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-    y = y + b[None, :, None, None]
-    oh, ow = y.shape[2], y.shape[3]
-    return y.reshape(b_, t, -1, oh, ow).transpose(0, 2, 1, 3, 4)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b
+    return y.reshape(b_, t, y.shape[1], y.shape[2], -1)
 
 
 def _rms_norm_channel(x, gamma, bias=None):
-    """VAE RMS_norm (vae.py:39-54): F.normalize over channel * sqrt(C) * g.
-    x: [B, C, ...]; statistics in fp32."""
+    """VAE RMS_norm (vae.py:39-54): F.normalize over channels * sqrt(C) * g.
+    Channels-last; statistics in fp32."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=1, keepdims=True))
-    c = x.shape[1]
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
+    c = x.shape[-1]
     y = xf / jnp.maximum(norm, 1e-12) * math.sqrt(c)
-    g = gamma.reshape(1, c, *([1] * (x.ndim - 2))).astype(jnp.float32)
-    y = y * g
+    y = y * gamma.astype(jnp.float32)
     if bias is not None:
-        y = y + bias.reshape(1, c, *([1] * (x.ndim - 2))).astype(jnp.float32)
+        y = y + bias.astype(jnp.float32)
     return y.astype(dtype)
 
 
 def _upsample_nearest2x(x):
-    """[B, C, T, H, W] → [B, C, T, 2H, 2W] (nearest-exact == pixel repeat
+    """[B, T, H, W, C] → [B, T, 2H, 2W, C] (nearest-exact == pixel repeat
     for integer scale 2)."""
-    x = jnp.repeat(x, 2, axis=3)
-    return jnp.repeat(x, 2, axis=4)
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
 
 
 def _spatial_attention(p, x):
-    """Single-head per-frame self-attention (vae.py:223-263)."""
-    b, c, t, h, w = x.shape
+    """Single-head per-frame self-attention (vae.py:223-263).
+
+    1x1 convs become plain matmuls in channels-last; the dense softmax
+    over H*W tokens (<= 6240 at 480x832/8) is XLA-fused.
+    """
+    b, t, h, w, c = x.shape
     idn = x
-    xf = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
-    xf = _rms_norm_channel(xf, p["norm"]["gamma"])
-    qkv = jax.lax.conv_general_dilated(
-        xf, p["to_qkv"]["w"], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-    qkv = qkv + p["to_qkv"]["b"][None, :, None, None]
-    qkv = qkv.reshape(b * t, 3 * c, h * w).transpose(0, 2, 1)  # [BT, HW, 3C]
+    xf = _rms_norm_channel(x, p["norm"]["gamma"]).reshape(b * t, h * w, c)
+    wq = p["to_qkv"]["w"][0, 0]                  # [C, 3C]
+    qkv = xf.astype(wq.dtype) @ wq + p["to_qkv"]["b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    y = flash_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
-                        dtype=x.dtype)
-    y = y[:, :, 0].transpose(0, 2, 1).reshape(b * t, c, h, w)
-    y = jax.lax.conv_general_dilated(
-        y, p["proj"]["w"], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-    y = y + p["proj"]["b"][None, :, None, None]
-    y = y.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
-    return idn + y
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * (c ** -0.5)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    y = jnp.einsum("bqk,bkc->bqc", attn, v,
+                   preferred_element_type=jnp.float32).astype(v.dtype)
+    wp = p["proj"]["w"][0, 0]
+    y = y @ wp + p["proj"]["b"]
+    return idn + y.reshape(b, t, h, w, c).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +184,8 @@ def _causal_conv_step(p, x, io: _CacheIO, stride=(1, 1, 1)):
     cache = io.next()
     if cache is None:
         return _conv3d(x, p["w"], p["b"], stride, padding="causal")
-    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-    io.put(xin[:, :, -(kt - 1):])
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    io.put(xin[:, -(kt - 1):])
     return _conv3d(xin, p["w"], p["b"], stride, padding="valid_t")
 
 
@@ -213,17 +215,17 @@ def _downsample3d_time(p, x, io: _CacheIO, first: bool):
     time axis; the frame is recorded as cache.
     """
     if not io.streaming:
-        head = x[:, :, :1]
+        head = x[:, :1]
         tail = _conv3d(x, p["w"], p["b"], stride=(2, 1, 1),
                        padding="valid_t")
-        return jnp.concatenate([head, tail], axis=2)
+        return jnp.concatenate([head, tail], axis=1)
     if first:
         io.next()  # consume the placeholder slot to keep cursor alignment
-        io.put(x[:, :, -1:])
+        io.put(x[:, -1:])
         return x
     cache = io.next()
-    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-    io.put(x[:, :, -1:])
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    io.put(x[:, -1:])
     return _conv3d(xin, p["w"], p["b"], stride=(2, 1, 1), padding="valid_t")
 
 
@@ -234,29 +236,30 @@ def _upsample3d_time(p, x, io: _CacheIO, first: bool):
     passes through with NO time conv ('Rep' path) and the conv history is
     zeroed.
     """
-    b, c, t, h, w = x.shape
+    b, t, h, w, c = x.shape
 
-    def conv_interleave(xin):  # [B, C, T', H, W] -> [B, C, 2*(T'-2), H, W]
-        y = _conv3d(xin, p["w"], p["b"], padding="valid_t")  # [B, 2C, t, ..]
-        ty = y.shape[2]
-        y = y.reshape(b, 2, c, ty, h, w)
-        y = jnp.stack([y[:, 0], y[:, 1]], axis=3)            # [B,C,t,2,h,w]
-        return y.reshape(b, c, ty * 2, h, w)
+    def conv_interleave(xin):  # [B, T', H, W, C] -> [B, 2(T'-2), H, W, C]
+        y = _conv3d(xin, p["w"], p["b"], padding="valid_t")  # [., t, ., 2C]
+        ty = y.shape[1]
+        # channel groups (2, C): group g supplies output frame 2i+g
+        y = y.reshape(b, ty, h, w, 2, c)
+        y = y.transpose(0, 1, 4, 2, 3, 5)                    # [B,t,2,H,W,C]
+        return y.reshape(b, ty * 2, h, w, c)
 
     if not io.streaming:
-        head = x[:, :, :1]
+        head = x[:, :1]
         if t == 1:
             return head
-        tail_in = jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (2, 0), (0, 0),
-                                        (0, 0)))
-        return jnp.concatenate([head, conv_interleave(tail_in)], axis=2)
+        tail_in = jnp.pad(x[:, 1:], ((0, 0), (2, 0), (0, 0), (0, 0),
+                                     (0, 0)))
+        return jnp.concatenate([head, conv_interleave(tail_in)], axis=1)
     if first:
         io.next()  # consume the placeholder slot to keep cursor alignment
-        io.put(jnp.zeros((b, c, 2, h, w), x.dtype))
+        io.put(jnp.zeros((b, 2, h, w, c), x.dtype))
         return x
     cache = io.next()
-    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=2)
-    io.put(xin[:, :, -2:])
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    io.put(xin[:, -2:])
     return conv_interleave(xin)
 
 
@@ -424,59 +427,55 @@ def _run_stack(spec, params, x, io: _CacheIO, first: bool):
 
 
 def _zero_caches(spec, params, batch, h, w, cfg, dtype, encoder: bool):
-    """Static-shape zero cache PyTree in traversal order.
-
-    Shapes are derived by tracing the stack with abstract values — shapes
-    only, so this is cheap and always consistent with _run_stack.
-    """
+    """Static-shape zero cache PyTree in traversal order
+    ([B, kt-1, H, W, C] channels-last)."""
     del params
     caches = []
-    # Walk the spec tracking (C, H, W) to derive each cache's static shape.
     ch, cw = h, w
     c = 3 if encoder else cfg.z_dim
     if encoder:
         for item in spec:
             kind = item[0]
             if kind == "conv_in":
-                caches.append(jnp.zeros((batch, c, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, c), dtype))
                 c = item[2]
             elif kind == "res":
                 cin, cout = item[1], item[2]
-                caches.append(jnp.zeros((batch, cin, 2, ch, cw), dtype))
-                caches.append(jnp.zeros((batch, cout, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, cin), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, cout), dtype))
                 c = cout
             elif kind == "resample":
                 mode = item[2]
                 ch, cw = -(-ch // 2), -(-cw // 2)
                 if mode == "downsample3d":
-                    caches.append(jnp.zeros((batch, c, 1, ch, cw), dtype))
+                    caches.append(jnp.zeros((batch, 1, ch, cw, c), dtype))
             elif kind == "head":
-                caches.append(jnp.zeros((batch, c, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, c), dtype))
     else:
         for item in spec:
             kind = item[0]
             if kind == "conv_in":
-                caches.append(jnp.zeros((batch, c, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, c), dtype))
                 c = item[2]
             elif kind == "res":
                 cin, cout = item[1], item[2]
-                caches.append(jnp.zeros((batch, cin, 2, ch, cw), dtype))
-                caches.append(jnp.zeros((batch, cout, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, cin), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, cout), dtype))
                 c = cout
             elif kind == "resample":
                 mode = item[2]
                 if mode == "upsample3d":
-                    caches.append(jnp.zeros((batch, c, 2, ch, cw), dtype))
+                    caches.append(jnp.zeros((batch, 2, ch, cw, c), dtype))
                 ch, cw = ch * 2, cw * 2
                 c = c // 2
             elif kind == "head":
-                caches.append(jnp.zeros((batch, c, 2, ch, cw), dtype))
+                caches.append(jnp.zeros((batch, 2, ch, cw, c), dtype))
     return caches
 
 
 def _latent_scale(cfg: VAEConfig):
-    mean = jnp.asarray(cfg.latent_mean)[None, :, None, None, None]
-    std = jnp.asarray(cfg.latent_std)[None, :, None, None, None]
+    mean = jnp.asarray(cfg.latent_mean)          # broadcast on channels-last
+    std = jnp.asarray(cfg.latent_std)
     return mean, std
 
 
@@ -487,19 +486,20 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
     spec = encoder_spec(cfg)
     eparams = params["encoder"]
     b, _, t, h, w = video.shape
+    x = video.transpose(0, 2, 3, 4, 1)           # → [B, T, H, W, 3]
 
     if not streaming:
-        out = _run_stack(spec, eparams, video, _CacheIO(None), first=False)
+        out = _run_stack(spec, eparams, x, _CacheIO(None), first=False)
     else:
-        caches = _zero_caches(spec, eparams, b, h, w, cfg, video.dtype,
+        caches = _zero_caches(spec, eparams, b, h, w, cfg, x.dtype,
                               encoder=True)
         io0 = _CacheIO(caches)
-        out0 = _run_stack(spec, eparams, video[:, :, :1], io0, first=True)
+        out0 = _run_stack(spec, eparams, x[:, :1], io0, first=True)
 
         k = (t - 1) // 4
         if k > 0:
-            chunks = video[:, :, 1:].reshape(b, video.shape[1], k, 4, h, w)
-            chunks = chunks.transpose(2, 0, 1, 3, 4, 5)  # [k, B, C, 4, H, W]
+            chunks = x[:, 1:].reshape(b, k, 4, h, w, x.shape[-1])
+            chunks = chunks.transpose(1, 0, 2, 3, 4, 5)  # [k,B,4,H,W,3]
 
             def step(caches, chunk):
                 io = _CacheIO(caches)
@@ -507,31 +507,39 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
                 return io.out, y
 
             _, outs = jax.lax.scan(step, io0.out, chunks)
-            # outs: [k, B, z2, 1, h', w'] → concat on time
-            outs = outs.transpose(1, 2, 0, 3, 4, 5).reshape(
-                b, outs.shape[2], -1, outs.shape[4], outs.shape[5])
-            out = jnp.concatenate([out0, outs], axis=2)
+            # outs: [k, B, tz_chunk, h', w', C] → concat on time
+            outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
+                b, -1, outs.shape[3], outs.shape[4], outs.shape[5])
+            out = jnp.concatenate([out0, outs], axis=1)
         else:
             out = out0
 
     out = _conv3d(out, params["conv1"]["w"], params["conv1"]["b"],
                   padding="valid_t")
-    mu, _log_var = jnp.split(out, 2, axis=1)
+    mu, _log_var = jnp.split(out, 2, axis=-1)
     mean, std = _latent_scale(cfg)
-    return ((mu.astype(jnp.float32) - mean) / std).astype(video.dtype)
+    mu = ((mu.astype(jnp.float32) - mean) / std).astype(video.dtype)
+    return mu.transpose(0, 4, 1, 2, 3)           # → [B, z, T', h', w']
 
 
 def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
-               streaming: bool = True, clamp: bool = True) -> jnp.ndarray:
+               streaming: bool = True, clamp: bool = True,
+               frame_chunk: int = 1) -> jnp.ndarray:
     """normalized latent [B, z, Tz, h, w] → video [B, 3, 1+4(Tz-1), 8h, 8w]
-    (reference decode, vae.py:544-566)."""
+    (reference decode, vae.py:544-566).
+
+    frame_chunk: latent frames per streaming scan step (same outputs for
+    any value; measured on v5e: 1 is fastest — larger chunks raise peak
+    memory without improving conv utilisation). Falls back to 1 when
+    (Tz-1) isn't divisible."""
     spec = decoder_spec(cfg)
     dparams = params["decoder"]
     b, zc, tz, h, w = z.shape
+    zt = z.transpose(0, 2, 3, 4, 1)              # → [B, Tz, h, w, z]
 
     mean, std = _latent_scale(cfg)
-    z = (z.astype(jnp.float32) * std + mean).astype(z.dtype)
-    x = _conv3d(z, params["conv2"]["w"], params["conv2"]["b"],
+    zt = (zt.astype(jnp.float32) * std + mean).astype(z.dtype)
+    x = _conv3d(zt, params["conv2"]["w"], params["conv2"]["b"],
                 padding="valid_t")
 
     if not streaming:
@@ -540,10 +548,13 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
         caches = _zero_caches(spec, dparams, b, h, w, cfg, z.dtype,
                               encoder=False)
         io0 = _CacheIO(caches)
-        out0 = _run_stack(spec, dparams, x[:, :, :1], io0, first=True)
+        out0 = _run_stack(spec, dparams, x[:, :1], io0, first=True)
         if tz > 1:
-            frames = x[:, :, 1:].transpose(2, 0, 1, 3, 4)[:, :, :, None]
-            # [tz-1, B, z, 1, h, w]
+            fc = frame_chunk if (tz - 1) % frame_chunk == 0 else 1
+            frames = x[:, 1:].reshape(b, (tz - 1) // fc, fc, h, w,
+                                      x.shape[-1])
+            frames = frames.transpose(1, 0, 2, 3, 4, 5)
+            # [(tz-1)/fc, B, fc, h, w, C]
 
             def step(caches, frame):
                 io = _CacheIO(caches)
@@ -551,17 +562,35 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
                 return io.out, y
 
             _, outs = jax.lax.scan(step, io0.out, frames)
-            # outs: [tz-1, B, 3, 4, H, W]
-            outs = outs.transpose(1, 2, 0, 3, 4, 5).reshape(
-                b, 3, -1, outs.shape[4], outs.shape[5])
-            out = jnp.concatenate([out0, outs], axis=2)
+            # outs: [tz-1, B, 4, H, W, 3] → [B, 4(tz-1), H, W, 3]
+            outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
+                b, -1, outs.shape[3], outs.shape[4], outs.shape[5])
+            out = jnp.concatenate([out0, outs], axis=1)
         else:
             out = out0
 
     if clamp:
         out = jnp.clip(out, -1.0, 1.0)
-    return out
+    return out.transpose(0, 4, 1, 2, 3)          # → [B, 3, T, H, W]
 
 
 def count_vae_params(params: Params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# jitted entry points (module-level: cached across pipeline calls; the
+# config is a frozen dataclass and therefore a valid static argument)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "streaming"))
+def vae_encode_jit(params: Params, video: jnp.ndarray, *, cfg: VAEConfig,
+                   streaming: bool = True) -> jnp.ndarray:
+    return vae_encode(params, video, cfg, streaming=streaming)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "streaming", "clamp"))
+def vae_decode_jit(params: Params, z: jnp.ndarray, *, cfg: VAEConfig,
+                   streaming: bool = True, clamp: bool = True
+                   ) -> jnp.ndarray:
+    return vae_decode(params, z, cfg, streaming=streaming, clamp=clamp)

@@ -160,7 +160,8 @@ def process_pose(cond: Params, pose: jnp.ndarray,
     (1,2,2)) — i.e. one guider cell per DiT patch.
     """
     from omnihuman_tpu.models.vae import _conv3d
-    x = pose.astype(compute_dtype)
+    # vae._conv3d is channels-last: [B, K, F, H, W] → [B, F, H, W, K]
+    x = pose.astype(compute_dtype).transpose(0, 2, 3, 4, 1)
     x = jax.nn.relu(_conv3d(x, cond["pose_conv1"]["w"].astype(compute_dtype),
                             cond["pose_conv1"]["b"].astype(compute_dtype),
                             padding="causal"))
@@ -170,11 +171,11 @@ def process_pose(cond: Params, pose: jnp.ndarray,
     x = jax.nn.relu(_conv3d(x, cond["pose_conv3"]["w"].astype(compute_dtype),
                             cond["pose_conv3"]["b"].astype(compute_dtype),
                             stride=(1, 2, 2), padding="causal"))
-    # x: [B, dim/4, F, h', w'] with (h', w') == latent grid/patch
-    b, c, f, h, w = x.shape
+    # x: [B, F, h', w', dim/4] with (h', w') == latent grid/patch
+    b, f, h, w, c = x.shape
     pt, ph, pw = patch_size
     # one token per (f, h, w) guider cell == one DiT patch
-    x = x.transpose(0, 2, 3, 4, 1).reshape(b, f * h * w, c)
+    x = x.reshape(b, f * h * w, c)
     # fold in patch spatial extent via the projection (c*ph*pw → dim);
     # guider cell already covers the patch, so tile features
     x = jnp.tile(x, (1, 1, ph * pw))

@@ -26,7 +26,7 @@ from omnihuman_tpu.models import vae as vae_mod
 from omnihuman_tpu.models import wan_dit
 from omnihuman_tpu.ops.rope import rope_angles_3d
 from omnihuman_tpu.pipelines.text2video import WanT2V
-from omnihuman_tpu.samplers.fm_solvers import FlowDPMSolver, FlowUniPCSolver
+from omnihuman_tpu.samplers.fm_solvers import (FlowDPMSolver, FlowUniPCSolver, get_solver)
 
 
 class WanI2V(WanT2V):
@@ -83,6 +83,7 @@ class WanI2V(WanT2V):
         context: Optional[jnp.ndarray] = None,
         context_null: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
+        fused_loop: bool = False,
     ):
         cfg = self.config
         if n_prompt == "":
@@ -107,8 +108,9 @@ class WanI2V(WanT2V):
         vid = jnp.concatenate(
             [img_r[:, :, None], jnp.zeros((1, 3, frame_num - 1, h, w))],
             axis=2)
-        ref_lat = vae_mod.vae_encode(self.vae_params, vid, cfg.vae,
-                                     streaming=True)[0]   # [16, F_lat, h, w]
+        ref_lat = vae_mod.vae_encode_jit(
+            self.vae_params, vid, cfg=cfg.vae, streaming=True
+        )[0]   # [16, F_lat, h, w]
         msk = self.first_frame_mask(frame_num, lat_h, lat_w)
         y = jnp.concatenate([msk, ref_lat], axis=0)[None]  # [1, 20, F, h, w]
 
@@ -117,47 +119,63 @@ class WanI2V(WanT2V):
             jnp.float32)
 
         seq_len = self.seq_len_for((cfg.vae.z_dim, f_lat, lat_h, lat_w))
-        latents = _i2v_sample_jit(
+        latents = _i2v_sample(
             self.params, noise, y, clip_fea, context, context_null,
             model_cfg=cfg.model, policy=cfg.policy,
             patch_size=self.patch_size, seq_len=seq_len, shift=shift,
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,
-            num_train_timesteps=cfg.num_train_timesteps)
+            num_train_timesteps=cfg.num_train_timesteps,
+            fused_loop=fused_loop)
         if return_latents:
             return latents
-        video = vae_mod.vae_decode(self.vae_params, latents, cfg.vae,
-                                   streaming=True)
+        video = vae_mod.vae_decode_jit(self.vae_params, latents,
+                                       cfg=cfg.vae, streaming=True)
         return video[0]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "model_cfg", "policy", "patch_size", "seq_len", "shift", "solver",
-    "steps", "guide_scale", "num_train_timesteps"))
-def _i2v_sample_jit(params, noise, y, clip_fea, context, context_null, *,
-                    model_cfg, policy, patch_size, seq_len, shift, solver,
-                    steps, guide_scale, num_train_timesteps):
+def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
+                model_cfg, policy, patch_size, seq_len, shift, solver,
+                steps, guide_scale, num_train_timesteps, fused_loop=False):
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
             noise.shape[4] // patch_size[2])
     rope_sin, rope_cos = rope_angles_3d(grid, model_cfg.head_dim,
                                         seq_len=seq_len)
-    sol_cls = FlowUniPCSolver if solver == "unipc" else FlowDPMSolver
-    sol = sol_cls(steps=steps, shift=shift,
-                  num_train_timesteps=num_train_timesteps)
+    sol = get_solver(solver if solver == "unipc" else "dpm++", steps,
+                     float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
     y2 = jnp.concatenate([y, y], axis=0)
     clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+    statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
+                   guide_scale=float(guide_scale))
 
-    def model_fn(x, t, i):
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-        v = wan_dit.wan_model_forward(
-            params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
-            rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
-            remat=False, clip_fea=clip2, y=y2)
-        v_cond, v_uncond = jnp.split(v, 2, axis=0)
-        return v_uncond + guide_scale * (v_cond - v_uncond)
+    if fused_loop:
+        def model_fn(x, t, i):
+            return _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2,
+                                       rope_sin, rope_cos, **statics)
+        return sol.sample_loop(model_fn, noise)
 
-    return sol.sample_loop(model_fn, noise)
+    ts = sol.timesteps
+    x = noise
+    state = sol.init_state(noise)
+    for i in range(steps):
+        v = _i2v_cfg_model_step(params, x, jnp.float32(ts[i]), ctx2, y2,
+                                clip2, rope_sin, rope_cos, **statics)
+        x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_cfg", "policy", "seq_len", "guide_scale"))
+def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
+                        *, model_cfg, policy, seq_len, guide_scale):
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.full((x2.shape[0],), t, jnp.float32)
+    v = wan_dit.wan_model_forward(
+        params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
+        remat=False, clip_fea=clip2, y=y2)
+    v_cond, v_uncond = jnp.split(v, 2, axis=0)
+    return v_uncond + guide_scale * (v_cond - v_uncond)

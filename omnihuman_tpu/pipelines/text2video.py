@@ -36,7 +36,7 @@ from omnihuman_tpu.models import vae as vae_mod
 from omnihuman_tpu.models import wan_dit
 from omnihuman_tpu.models.tokenizers import HuggingfaceTokenizer
 from omnihuman_tpu.ops.rope import rope_angles_3d
-from omnihuman_tpu.samplers.fm_solvers import FlowDPMSolver, FlowUniPCSolver
+from omnihuman_tpu.samplers.fm_solvers import (FlowDPMSolver, FlowUniPCSolver, get_solver)
 from omnihuman_tpu.utils import convert
 
 
@@ -64,27 +64,56 @@ class WanT2V:
         self.patch_size = config.model.patch_size
         self.sp_size = 1 if mesh is None else mesh.shape.get("sp", 1)
 
+        self._init_seed = init_seed
+        self._t5_params = None
         if checkpoint_dir is not None:
             self.params = self._load_checkpoint(checkpoint_dir)
         else:
             cast = lambda t: jax.tree.map(
                 lambda x: x.astype(param_dtype), t)
             key = jax.random.key(init_seed)
-            k1, k2, k3 = jax.random.split(key, 3)
-            init = jax.jit(lambda k1, k2, k3: (
+            k1, k2, _ = jax.random.split(key, 3)
+            init = jax.jit(lambda k1, k2: (
                 cast(wan_dit.init_wan_model(k1, config.model)),
                 cast(vae_mod.init_vae(k2, config.vae)),
-                cast(t5_mod.init_t5_encoder(k3, config.t5)),
             ))
-            self.params, self.vae_params, self.t5_params = init(k1, k2, k3)
+            # umT5 (5.7B params for umt5-xxl — 11.4GB bf16) is initialised
+            # LAZILY on first encode_text(): callers that pass precomputed
+            # context never pay its HBM (replaces the reference's t5_cpu
+            # offload juggling, text2video.py:172-182)
+            self.params, self.vae_params = init(k1, k2)
 
         if mesh is not None:
             from omnihuman_tpu.parallel.partition import shard_params
             self.params = shard_params(self.params, mesh)
             self.vae_params = shard_params(self.vae_params, mesh)
-            self.t5_params = shard_params(self.t5_params, mesh)
+            if self._t5_params is not None:
+                self._t5_params = shard_params(self._t5_params, mesh)
 
         self.tokenizer = tokenizer  # lazily constructed when needed
+
+    @property
+    def t5_params(self):
+        if self._t5_params is None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(self.param_dtype), t)
+            key = jax.random.key(self._init_seed + 1000)
+            self._t5_params = jax.jit(
+                lambda k: cast(t5_mod.init_t5_encoder(
+                    k, self.config.t5)))(key)
+            if self.mesh is not None:
+                from omnihuman_tpu.parallel.partition import shard_params
+                self._t5_params = shard_params(self._t5_params, self.mesh)
+        return self._t5_params
+
+    @t5_params.setter
+    def t5_params(self, value):
+        self._t5_params = value
+
+    def unload_t5(self):
+        """Free the text encoder's device memory (the reference's
+        offload_model/.cpu() round trips, text2video.py:172-182)."""
+        self._t5_params = None
 
     # -- checkpoint loading -------------------------------------------------
 
@@ -102,8 +131,9 @@ class WanT2V:
             convert.load_torch_state_dict(vae_path), self.config.vae))
         t5_path = os.path.join(ckpt_dir,
                                "models_t5_umt5-xxl-enc-bf16.pth")
-        self.t5_params = cast(convert.convert_t5(
-            convert.load_torch_state_dict(t5_path), self.config.t5))
+        if os.path.exists(t5_path):
+            self._t5_params = cast(convert.convert_t5(
+                convert.load_torch_state_dict(t5_path), self.config.t5))
         return self.params
 
     # -- text encoding ------------------------------------------------------
@@ -154,6 +184,7 @@ class WanT2V:
         context: Optional[jnp.ndarray] = None,
         context_null: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
+        fused_loop: bool = False,
     ):
         """Generate one clip; returns video [3, F, H, W] in [-1, 1]
         (reference WanT2V.generate, text2video.py:112-269)."""
@@ -171,49 +202,73 @@ class WanT2V:
         noise = jax.random.normal(jax.random.key(seed), (1,) + lat_shape,
                                   jnp.float32)
 
-        latents = _sample_jit(
+        latents = sample(
             self.params, noise, context, context_null,
             model_cfg=self.config.model, policy=self.config.policy,
             patch_size=self.patch_size, seq_len=seq_len, shift=shift,
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,
-            num_train_timesteps=self.config.num_train_timesteps)
+            num_train_timesteps=self.config.num_train_timesteps,
+            fused_loop=fused_loop)
         if return_latents:
             return latents
-        video = vae_mod.vae_decode(self.vae_params, latents, cfg.vae,
-                                   streaming=True)
+        video = vae_mod.vae_decode_jit(self.vae_params, latents,
+                                       cfg=cfg.vae, streaming=True)
         return video[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model_cfg", "policy", "patch_size", "seq_len", "shift", "solver",
-    "steps", "guide_scale", "num_train_timesteps"))
-def _sample_jit(params, noise, context, context_null, *, model_cfg, policy,
-                patch_size, seq_len, shift, solver, steps, guide_scale,
-                num_train_timesteps):
-    """The full denoising loop as one compiled program."""
+    "model_cfg", "policy", "seq_len", "guide_scale"))
+def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, *, model_cfg,
+                    policy, seq_len, guide_scale):
+    """One CFG denoise model call (module-level jit → cached across
+    generate() invocations). fused CFG: cond/uncond stacked on batch
+    (vs two sequential forwards in text2video.py:238-241)."""
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.full((x2.shape[0],), t, jnp.float32)
+    v2 = wan_dit.wan_model_forward(
+        params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
+        remat=False)
+    v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+    return v_uncond + guide_scale * (v_cond - v_uncond)
+
+
+def sample(params, noise, context, context_null, *, model_cfg, policy,
+           patch_size, seq_len, shift, solver, steps, guide_scale,
+           num_train_timesteps, fused_loop=False):
+    """Denoising loop.
+
+    fused_loop=False (default): ONE compiled model step driven by a host
+    loop — compile cost independent of `steps`, and long runs cannot hit
+    single-program execution limits of remote runtimes.
+    fused_loop=True: the whole loop inside one jitted fori_loop (zero
+    host round-trips; preferable on local chips for short step counts).
+    """
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
             noise.shape[4] // patch_size[2])
     rope_sin, rope_cos = rope_angles_3d(
         grid, model_cfg.head_dim, seq_len=seq_len)
 
-    sol_cls = FlowUniPCSolver if solver == "unipc" else FlowDPMSolver
-    sol = sol_cls(steps=steps, shift=shift,
-                  num_train_timesteps=num_train_timesteps)
+    sol = get_solver(solver if solver == "unipc" else "dpm++", steps,
+                     float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
+    statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
+                   guide_scale=float(guide_scale))
 
-    def model_fn(x, t, i):
-        # fused CFG: cond/uncond stacked on batch (vs two sequential
-        # forwards in text2video.py:238-241)
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-        v2 = wan_dit.wan_model_forward(
-            params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
-            rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
-            remat=False)
-        v_cond, v_uncond = jnp.split(v2, 2, axis=0)
-        return v_uncond + guide_scale * (v_cond - v_uncond)
+    if fused_loop:
+        def model_fn(x, t, i):
+            return _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos,
+                                   **statics)
+        return sol.sample_loop(model_fn, noise)
 
-    return sol.sample_loop(model_fn, noise)
+    ts = sol.timesteps
+    x = noise
+    state = sol.init_state(noise)
+    for i in range(steps):
+        v = _cfg_model_step(params, x, jnp.float32(ts[i]), ctx2,
+                            rope_sin, rope_cos, **statics)
+        x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
+    return x

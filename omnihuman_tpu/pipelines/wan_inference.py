@@ -75,8 +75,8 @@ class SeaweedWanAPTGenerator:
             return latents
 
         t0 = time.perf_counter()
-        video = vae_mod.vae_decode(self.pipe.vae_params, latents, cfg.vae,
-                                   streaming=True)
+        video = vae_mod.vae_decode_jit(self.pipe.vae_params, latents,
+                                       cfg=cfg.vae, streaming=True)
         jax.block_until_ready(video)
         timings["vae_decode_s"] = time.perf_counter() - t0
         self.timings = timings

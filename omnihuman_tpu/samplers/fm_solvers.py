@@ -23,6 +23,7 @@ jit/scan friendly, no data-dependent control flow, no host sync per step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Callable, List, Optional, Tuple
 
@@ -267,6 +268,15 @@ class _PlanSolver:
 
     def __init__(self, plan: SolverPlan):
         self.plan = plan
+        self._jitted_step = None
+
+    @property
+    def jitted_step(self):
+        """step() jitted once per solver instance (pair with get_solver
+        for cross-call caching)."""
+        if self._jitted_step is None:
+            self._jitted_step = jax.jit(self.step)
+        return self._jitted_step
 
     @property
     def timesteps(self) -> np.ndarray:
@@ -347,6 +357,16 @@ class _PlanSolver:
         x, _ = jax.lax.fori_loop(0, p.steps, body,
                                  (noise, self.init_state(noise)))
         return x
+
+
+@functools.lru_cache(maxsize=64)
+def get_solver(kind: str, steps: int, shift: float,
+               num_train_timesteps: int = 1000) -> "_PlanSolver":
+    """Cached solver instances so repeated pipeline calls reuse the
+    jitted step function (jit caches key on function identity)."""
+    cls = FlowUniPCSolver if kind == "unipc" else FlowDPMSolver
+    return cls(steps=steps, shift=shift,
+               num_train_timesteps=num_train_timesteps)
 
 
 class FlowUniPCSolver(_PlanSolver):

@@ -51,9 +51,12 @@ def test_causal_conv3d_matches_torch(rng):
         want = conv(F.pad(x, (0, 0, 0, 0, 2, 0))).numpy()
 
     w = conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
-    got = _conv3d(jnp.asarray(x.numpy()), jnp.asarray(w),
+    # vae._conv3d is channels-last internally
+    x_cl = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    got = _conv3d(x_cl, jnp.asarray(w),
                   jnp.asarray(conv.bias.detach().numpy()), padding="causal")
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 def _torch_linear_sd(prefix, lin):

@@ -224,3 +224,18 @@ def test_flash_attention_dispatcher_cpu(rng):
     q = jnp.asarray(rng.normal(size=(1, 8, 1, 8)), jnp.float32)
     out = flash_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_pallas_flash_zero_klen_row(rng):
+    """k_len=0 sample: output must be exactly zero (all-masked first tile
+    regression for the full-tile fast path)."""
+    q = jnp.asarray(rng.normal(size=(2, 64, 2, 32)), jnp.float32)
+    kl = jnp.asarray(np.array([64, 0], np.int32))
+    out = pallas_flash_attention(q, q, q, k_lens=kl,
+                                 compute_dtype=jnp.float32,
+                                 block_q=32, block_k=32, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0)
+    want = attention_xla(q[:1], q[:1], q[:1], compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want[0]),
+                               atol=2e-3)
