@@ -20,7 +20,7 @@ def main(argv=None):
     from omnihuman_tpu.omni.tracker import ProblematicVideoTracker
     from omnihuman_tpu.omni.trainer import (
         OmniHumanTrainer, StageConfig)
-    from omnihuman_tpu.models.vae import init_vae, vae_encode
+    from omnihuman_tpu.models.vae import init_vae, vae_encode_jit
     from omnihuman_tpu.utils.config_io import load_yaml, save_snapshot
     from omnihuman_tpu.utils.logging import logger
 
@@ -69,8 +69,8 @@ def main(argv=None):
             bs = cfg.get_path("training.batch_size", 1)
             for batch in ds.batches(bs):
                 frames = jnp.asarray(batch["frames"])
-                lat = vae_encode(vae_params, frames, VAEConfig(),
-                                 streaming=True)
+                lat = vae_encode_jit(vae_params, frames, cfg=VAEConfig(),
+                                     streaming=True)
                 samples = batch["samples"]
                 out = {"frames": lat,
                        "context": jnp.zeros((bs, base.text_len,
