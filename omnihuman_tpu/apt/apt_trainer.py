@@ -80,11 +80,26 @@ def make_rmsprop(lr: float) -> optax.GradientTransformation:
     return optax.rmsprop(lr, decay=0.9, eps=1e-8)
 
 
+def d_trainable_mask(d_params) -> Any:
+    """True for the discriminator's trainables (probes + head), False
+    for the frozen Wan backbone — the optimizer must not allocate
+    moments for 14B frozen params (the reference pays that cost:
+    apt_trainer.py:77-79 optimizes discriminator.parameters() wholesale
+    while the backbone runs under no_grad)."""
+    return {k: jax.tree.map(lambda _: k != "backbone", v)
+            for k, v in d_params.items()}
+
+
+def make_d_optimizer(lr: float, d_params) -> optax.GradientTransformation:
+    """RMSprop masked to the trainable subtree."""
+    return optax.masked(make_rmsprop(lr), d_trainable_mask(d_params))
+
+
 def init_apt_state(g_params, d_params, g_lr: float, d_lr: float) -> APTState:
     return APTState(
         g_params=g_params, d_params=d_params,
         g_opt=make_rmsprop(g_lr).init(g_params),
-        d_opt=make_rmsprop(d_lr).init(d_params),
+        d_opt=make_d_optimizer(d_lr, d_params).init(d_params),
         ema_params=jax.tree.map(jnp.copy, g_params),
         step=jnp.asarray(0, jnp.int32))
 

@@ -9,8 +9,8 @@ import numpy as np
 import pytest
 
 from omnihuman_tpu.apt.apt_trainer import (
-    APTState, SeaweedAPTConfig, apt_d_step, apt_g_step, init_apt_state,
-    make_rmsprop, start_video_phase)
+    APTState, SeaweedAPTConfig, apt_d_step, apt_g_step, d_trainable_mask,
+    init_apt_state, make_d_optimizer, make_rmsprop, start_video_phase)
 from omnihuman_tpu.apt.distill import (
     distill_train_step, init_distill_state, make_optimizer)
 from omnihuman_tpu.apt.model import (
@@ -123,7 +123,7 @@ def test_apt_gan_steps_update_params(setup):
     # D trainables exclude the frozen backbone: keep full tree for forward
     state = init_apt_state(params, d, 1e-3, 1e-3)
     g_opt = make_rmsprop(1e-3)
-    d_opt = make_rmsprop(1e-3)
+    d_opt = make_d_optimizer(1e-3, d)
 
     kw = dict(cfg=CFG, apt_cfg=apt_cfg, video=False, seq_len=SEQ,
               rope_sin=sin, rope_cos=cos, policy=FP32)
@@ -177,3 +177,20 @@ def test_distill_step_reduces_loss(setup):
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      state.ema_params, state.params)
     assert max(jax.tree.leaves(d)) > 0.0
+
+
+def test_d_optimizer_skips_frozen_backbone(setup):
+    """No RMSprop moments for the frozen Wan backbone (memory at 14B)."""
+    params, sin, cos, batch = setup
+    d = init_apt_discriminator(jax.random.key(1), params, CFG)
+    import optax
+    from omnihuman_tpu.apt.apt_trainer import make_d_optimizer
+    opt = make_d_optimizer(1e-3, d)
+    opt_state = opt.init(d)
+    leaves = jax.tree.leaves(opt_state)
+    moment_bytes = sum(x.size for x in leaves if hasattr(x, "size"))
+    backbone_size = sum(x.size for x in jax.tree.leaves(d["backbone"]))
+    probe_size = sum(x.size for x in jax.tree.leaves(d["probes"]))
+    # moments cover probes+head, NOT the backbone
+    assert moment_bytes < backbone_size
+    assert moment_bytes >= probe_size

@@ -13,8 +13,8 @@ import numpy as np
 import pytest
 
 from omnihuman_tpu.apt.apt_trainer import (
-    SeaweedAPTConfig, apt_d_step, apt_g_step, init_apt_state, make_rmsprop,
-    start_video_phase)
+    SeaweedAPTConfig, apt_d_step, apt_g_step, init_apt_state,
+    make_d_optimizer, make_rmsprop, start_video_phase)
 from omnihuman_tpu.apt.distill import (
     distill_train_step, init_distill_state, make_optimizer)
 from omnihuman_tpu.apt.eval_ema import evaluate_ema
@@ -78,7 +78,7 @@ def test_full_apt_workflow(pipe, tmp_path):
     d_params = init_apt_discriminator(jax.random.key(1), pipe.params,
                                       cfg.model)
     apt_state = init_apt_state(state.ema_params, d_params, 1e-4, 1e-4)
-    g_opt, d_opt = make_rmsprop(1e-4), make_rmsprop(1e-4)
+    g_opt, d_opt = make_rmsprop(1e-4), make_d_optimizer(1e-4, d_params)
     rng = np.random.default_rng(3)
     gan_batch = {
         "real": jnp.asarray(data["dummy_data"][:2] * 0.1, jnp.float32),
@@ -98,7 +98,8 @@ def test_full_apt_workflow(pipe, tmp_path):
     vstate = start_video_phase(apt_state, d2, apt_cfg)
     vkw = dict(kw, video=True)
     vstate, dm2 = apt_d_step(vstate, gan_batch, jax.random.key(8),
-                             d_optimizer=make_rmsprop(apt_cfg.d_lr_video),
+                             d_optimizer=make_d_optimizer(
+                                 apt_cfg.d_lr_video, d2),
                              **vkw)
     assert np.isfinite(float(dm2["d_loss"]))
 
