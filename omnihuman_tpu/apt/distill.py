@@ -41,13 +41,23 @@ class DistillState:
 
 
 def make_optimizer(lr: float = 5e-6, weight_decay: float = 0.01,
-                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
-    """AdamW like the reference (distilled_trainer.py:74-77)."""
+                   grad_clip: Optional[float] = 1.0,
+                   accumulation_steps: int = 1
+                   ) -> optax.GradientTransformation:
+    """AdamW like the reference (distilled_trainer.py:74-77).
+
+    accumulation_steps > 1 wraps in optax.MultiSteps — the TPU-native
+    equivalent of the reference's manual loss/accum division +
+    sync-step gating (distilled_trainer.py:289,301-316).
+    """
     txs = []
     if grad_clip is not None:
         txs.append(optax.clip_by_global_norm(grad_clip))
     txs.append(optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay))
-    return optax.chain(*txs)
+    opt = optax.chain(*txs)
+    if accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
+    return opt
 
 
 def init_distill_state(params: Any,

@@ -194,3 +194,24 @@ def test_d_optimizer_skips_frozen_backbone(setup):
     # moments cover probes+head, NOT the backbone
     assert moment_bytes < backbone_size
     assert moment_bytes >= probe_size
+
+
+def test_gradient_accumulation(setup):
+    """MultiSteps: params move only on accumulation boundaries
+    (reference distilled_trainer.py:289,301-316 semantics)."""
+    params, sin, cos, batch = setup
+    params = dict(params)
+    params["head"] = dict(params["head"])
+    params["head"]["w"] = jax.random.normal(
+        jax.random.key(6), params["head"]["w"].shape) * 0.05
+    opt = make_optimizer(lr=1e-3, accumulation_steps=2)
+    state = init_distill_state(params, opt)
+    kw = dict(optimizer=opt, cfg=CFG, seq_len=SEQ, rope_sin=sin,
+              rope_cos=cos, policy=FP32, remat=False)
+    w0 = np.asarray(state.params["head"]["w"])
+    state, _ = distill_train_step(state, batch, **kw)
+    w1 = np.asarray(state.params["head"]["w"])
+    np.testing.assert_allclose(w1, w0)          # microstep: no update yet
+    state, _ = distill_train_step(state, batch, **kw)
+    w2 = np.asarray(state.params["head"]["w"])
+    assert not np.allclose(w2, w0)              # boundary: update applied
