@@ -145,3 +145,40 @@ def create_dataloader(data: Dict[str, np.ndarray], batch_size: int = 1,
 
 def load_teacher_data(path: str) -> Dict[str, np.ndarray]:
     return dict(np.load(path, allow_pickle=True))
+
+
+def visualize_and_save_batch_with_vae(data, pipe, out_path: str =
+                                      "teacher_data_viz.png",
+                                      num_samples: int = 4):
+    """Decode and panel noise / v_teacher / x0 = noise - v for visual
+    inspection (reference generate.py:304-362)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from omnihuman_tpu.models.vae import vae_decode_jit
+
+    n = min(num_samples, data["noise"].shape[0])
+    noise = jnp.asarray(data["noise"][:n])
+    v = jnp.asarray(data["v_teacher"][:n])
+    x0 = noise - v
+    cfg = pipe.config
+
+    panels = []
+    for name, lat in (("noise", noise), ("v_teacher", v), ("x0", x0)):
+        imgs = vae_decode_jit(pipe.vae_params, lat, cfg=cfg.vae,
+                              streaming=True)
+        panels.append((name, np.asarray(imgs[:, :, 0])))  # first frames
+
+    fig, axes = plt.subplots(3, n, figsize=(3 * n, 9), squeeze=False)
+    for r, (name, imgs) in enumerate(panels):
+        for c in range(n):
+            img = np.clip(imgs[c].transpose(1, 2, 0) * 0.5 + 0.5, 0, 1)
+            axes[r][c].imshow(img)
+            axes[r][c].set_axis_off()
+            if c == 0:
+                axes[r][c].set_title(name, loc="left")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path

@@ -14,10 +14,14 @@ def main(argv=None):
     p.add_argument("--out_dir", default=".")
     args = p.parse_args(argv)
 
+    import sys
     from omnihuman_tpu.apt.generate import generate_batch
     from omnihuman_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
     from omnihuman_tpu.pipelines.text2video import WanT2V
 
+    if args.size not in SIZE_CONFIGS:
+        sys.exit(f"unknown size {args.size!r}; choose from "
+                 f"{list(SIZE_CONFIGS)}")
     pipe = WanT2V(WAN_CONFIGS[args.task], checkpoint_dir=args.checkpoint_dir)
     data = generate_batch(
         pipe, num_samples=args.num_samples,

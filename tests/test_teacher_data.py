@@ -76,3 +76,12 @@ def test_one_step_inference(pipe):
     assert video.shape == (3, 5, 32, 32)
     assert np.isfinite(np.asarray(video)).all()
     assert set(gen.timings) == {"text_encode_s", "dit_s", "vae_decode_s"}
+
+
+def test_teacher_data_visualization(pipe, tmp_path):
+    from omnihuman_tpu.apt.generate import visualize_and_save_batch_with_vae
+    data = generate_batch(pipe, num_samples=2, size=(32, 32), save=False)
+    out = visualize_and_save_batch_with_vae(
+        data, pipe, out_path=str(tmp_path / "viz.png"), num_samples=2)
+    import os
+    assert os.path.exists(out)
