@@ -26,7 +26,7 @@ from omnihuman_tpu.models import vae as vae_mod
 from omnihuman_tpu.models import wan_dit
 from omnihuman_tpu.ops.rope import rope_angles_3d
 from omnihuman_tpu.pipelines.text2video import WanT2V
-from omnihuman_tpu.samplers.fm_solvers import (FlowDPMSolver, FlowUniPCSolver, get_solver)
+from omnihuman_tpu.samplers.fm_solvers import get_solver
 
 
 class WanI2V(WanT2V):

@@ -21,7 +21,6 @@ TPU-first redesign (SURVEY §7.1):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 from typing import Optional, Tuple
@@ -36,7 +35,7 @@ from omnihuman_tpu.models import vae as vae_mod
 from omnihuman_tpu.models import wan_dit
 from omnihuman_tpu.models.tokenizers import HuggingfaceTokenizer
 from omnihuman_tpu.ops.rope import rope_angles_3d
-from omnihuman_tpu.samplers.fm_solvers import (FlowDPMSolver, FlowUniPCSolver, get_solver)
+from omnihuman_tpu.samplers.fm_solvers import get_solver
 from omnihuman_tpu.utils import convert
 
 
