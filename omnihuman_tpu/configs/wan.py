@@ -40,9 +40,14 @@ class DTypePolicy:
     params: jnp.dtype = jnp.float32
     compute: jnp.dtype = jnp.bfloat16
     highprec: jnp.dtype = jnp.float32
+    # dtype of the DiT residual stream between blocks; the reference keeps
+    # it fp32 (model.py:287-296 gates under fp32 autocast). bf16 halves the
+    # elementwise HBM traffic of norms/AdaLN/gates at some quality risk.
+    residual: jnp.dtype = jnp.float32
 
     def __hash__(self):  # jnp dtypes are not hashable by default in dataclass
-        return hash((str(self.params), str(self.compute), str(self.highprec)))
+        return hash((str(self.params), str(self.compute),
+                     str(self.highprec), str(self.residual)))
 
 
 # ---------------------------------------------------------------------------

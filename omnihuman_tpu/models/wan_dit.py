@@ -240,6 +240,7 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
 def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
                    seq_lens, cfg: WanModelConfig, policy: DTypePolicy,
                    attn_impl: str, audio_ctx=None):
+    rd = policy.residual
     """One transformer block. x, e0 fp32 (reference model.py:279-330).
 
     audio_ctx: optional [B, La, dim] audio tokens; when the block params
@@ -260,7 +261,7 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
     h = h * (1.0 + e_sa_scale) + e_sa_shift
     y = _self_attention(bp["self_attn"], h, rope_sin, rope_cos, seq_lens,
                         cfg, policy, attn_impl)
-    x = x + y.astype(jnp.float32) * e_sa_gate
+    x = (x + (y.astype(jnp.float32) * e_sa_gate).astype(rd)).astype(rd)
 
     # cross-attention (pre-norm, affine when cross_attn_norm)
     if cfg.cross_attn_norm:
@@ -270,7 +271,7 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
         h = x
     y = _cross_attention(bp["cross_attn"], h, context, context_lens, cfg,
                          policy, attn_impl)
-    x = x + y.astype(jnp.float32)
+    x = x + y.astype(rd)
 
     # OmniHuman audio injection (adapter params present only in omni models)
     if audio_ctx is not None and "audio_attn" in bp:
@@ -289,7 +290,7 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
     h = _linear(bp["ffn_fc1"], h.astype(cd))
     h = jax.nn.gelu(h, approximate=True)
     h = _linear(bp["ffn_fc2"], h)
-    x = x + h.astype(jnp.float32) * e_ff_gate
+    x = x + (h.astype(jnp.float32) * e_ff_gate).astype(rd)
     return x
 
 
@@ -362,6 +363,7 @@ def wan_model_forward(
     assert n_tokens <= seq_len, f"{n_tokens} tokens > seq_len {seq_len}"
 
     tokens = _patchify(params, x, cfg, policy)          # [B, n_tokens, dim]
+    tokens = tokens.astype(policy.residual)
     if n_tokens < seq_len:
         tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - n_tokens), (0, 0)))
     if token_sharding is not None:
