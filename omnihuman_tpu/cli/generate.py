@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parameter-sharding degree (fsdp mesh axis)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the generation")
+    p.add_argument("--use_prompt_extend", action="store_true",
+                   help="expand the prompt with an LLM (Qwen if local "
+                        "weights exist, else the offline template "
+                        "expander; DashScope via DASH_API_KEY)")
+    p.add_argument("--prompt_extend_target_lang", default="en",
+                   choices=("en", "zh"))
     return p
 
 
@@ -62,6 +68,23 @@ def main(argv=None):
                      f"{list(SIZE_CONFIGS)}")
     frame_num = args.frame_num or (1 if args.task == "t2i-14B"
                                    else cfg.frame_num)
+
+    if args.use_prompt_extend:
+        # reference CLI surface: --use_prompt_extend with dashscope/qwen
+        # backends (wan/utils/prompt_extend.py)
+        import os as _os
+        from omnihuman_tpu.utils.prompt_extend import (
+            DashScopePromptExpander, QwenPromptExpander)
+        expander = (DashScopePromptExpander()
+                    if _os.environ.get("DASH_API_KEY")
+                    else QwenPromptExpander())
+        out = expander(args.prompt, tar_lang=args.prompt_extend_target_lang,
+                       seed=max(args.base_seed, 0))
+        if out.status:
+            logger.info(f"prompt extended: {out.prompt}")
+            args.prompt = out.prompt
+        else:
+            logger.warning(f"prompt extension failed: {out.message}")
 
     mesh = None
     if args.sp_size > 1 or args.fsdp_size > 1:

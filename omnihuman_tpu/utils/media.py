@@ -50,6 +50,9 @@ def cache_video(tensor, save_file: Optional[str] = None, fps: int = 16,
     if save_file is None:
         save_file = tempfile.NamedTemporaryFile(
             suffix=suffix, delete=False).name
+    parent = os.path.dirname(save_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
 
     import imageio
     err = None
@@ -84,6 +87,9 @@ def cache_image(tensor, save_file: str, nrow: int = 8,
     if x.ndim == 3:
         x = x[None]
     frames = _to_uint8(x.transpose(0, 2, 3, 1), value_range)
+    parent = os.path.dirname(save_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     imageio.imwrite(save_file, make_grid(frames, nrow=nrow))
     return save_file
 

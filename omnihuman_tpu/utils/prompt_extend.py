@@ -130,13 +130,21 @@ class TemplatePromptExpander(PromptExpander):
                "handheld tracking shot")
     _DETAIL = ("highly detailed", "sharp focus", "rich textures",
                "8k quality")
+    _STYLES_ZH = ("电影感打光", "柔和的自然光", "黄金时刻光晕", "影棚灯光")
+    _CAMERA_ZH = ("缓慢推近镜头", "固定三脚架镜头", "缓缓平移", "手持跟拍")
+    _DETAIL_ZH = ("细节丰富", "清晰锐利", "质感细腻", "超高清画质")
 
     def _call(self, prompt, system_prompt, seed, image) -> PromptOutput:
         rng = random.Random(seed)
-        extended = (f"{prompt.strip().rstrip('.')}. "
-                    f"{rng.choice(self._STYLES)}, "
-                    f"{rng.choice(self._CAMERA)}, "
-                    f"{rng.choice(self._DETAIL)}.")
+        zh = system_prompt == LM_ZH_SYS_PROMPT
+        styles, camera, detail = (
+            (self._STYLES_ZH, self._CAMERA_ZH, self._DETAIL_ZH) if zh
+            else (self._STYLES, self._CAMERA, self._DETAIL))
+        sep, end = ("，", "。") if zh else (", ", ".")
+        extended = (f"{prompt.strip().rstrip('.。')}{end}"
+                    f"{rng.choice(styles)}{sep}"
+                    f"{rng.choice(camera)}{sep}"
+                    f"{rng.choice(detail)}{end}")
         return PromptOutput(True, extended, seed, system_prompt,
                             "template-expanded (offline fallback)")
 
