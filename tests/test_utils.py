@@ -84,6 +84,15 @@ def test_system_prompt_language():
     assert "prompt engineer" in e.decide_system_prompt("en")
 
 
+def test_template_expander_zh_decorations():
+    out = TemplatePromptExpander()("滑板上的狗", seed=3, tar_lang="zh")
+    assert out.status
+    # Chinese decorations + punctuation, not English clauses glued on
+    assert out.prompt.startswith("滑板上的狗。")
+    assert "，" in out.prompt and out.prompt.endswith("。")
+    assert "light" not in out.prompt and "shot" not in out.prompt
+
+
 # ---------------------------------------------------------------------------
 # qwen_vl_utils
 
@@ -103,6 +112,13 @@ def test_smart_nframes():
 
 # ---------------------------------------------------------------------------
 # media
+
+
+def test_cache_video_creates_parent_dirs(tmp_path):
+    from omnihuman_tpu.utils.media import cache_video
+    vid = np.zeros((3, 2, 16, 16), np.float32)
+    out = cache_video(vid, str(tmp_path / "deep" / "dir" / "v.mp4"), fps=4)
+    assert os.path.exists(out)          # mp4 or gif fallback
 
 
 def test_make_grid_and_cache_image(tmp_path):
@@ -151,3 +167,12 @@ def test_generate_cli_rejects_bad_size():
     from omnihuman_tpu.cli.generate import main
     with pytest.raises(SystemExit):
         main(["--task", "t2v-1.3B", "--size", "totally*bogus*size"])
+
+
+def test_generate_cli_prompt_extend_flags():
+    from omnihuman_tpu.cli.generate import build_parser
+    args = build_parser().parse_args(
+        ["--use_prompt_extend", "--prompt_extend_target_lang", "zh"])
+    assert args.use_prompt_extend and args.prompt_extend_target_lang == "zh"
+    with pytest.raises(SystemExit):   # only en/zh are valid
+        build_parser().parse_args(["--prompt_extend_target_lang", "fr"])
