@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,11 +91,21 @@ def rope_angles_3d(
             jnp.asarray(np.cos(ang), dtype=jnp.float32))
 
 
-def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
+               inverse: bool = False) -> jnp.ndarray:
     """Rotate adjacent pairs of x by the given tables.
 
     x: [..., L, N, D] (sequence, heads, head_dim); sin/cos: [L, D//2].
-    Rotation in fp32, result cast back to x.dtype.
+    Rotation in fp32, result cast back to x.dtype. inverse applies the
+    transpose rotation (rotate by -angle) — used to pull gradients back
+    through a kernel-fused forward rotation.
+
+    Perf note (measured on v5e, 32760 tokens): standalone, a lane-roll
+    formulation beats this pair formulation 8x on bf16 inputs — but INSIDE
+    the full DiT step XLA fuses this version into the surrounding ops and
+    the roll version regressed the whole step 11% (4384→4865 ms). Keep the
+    pair form here; the flash kernel's fused-rope option (flash_pallas
+    `rope=`) uses the roll form where it is genuinely elementwise.
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -104,10 +115,30 @@ def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarra
     # broadcast tables over leading batch dims and the heads axis
     s = sin[..., :, None, :]
     c = cos[..., :, None, :]
+    if inverse:
+        s = -s
     ra = a * c - b * s
     rb = a * s + b * c
     out = jnp.stack([ra, rb], axis=-1).reshape(shape)
     return out.astype(dtype)
+
+
+def rope_tables_full(sin: jnp.ndarray, cos: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand [L, D//2] half tables to full-width [L, D] coefficient
+    tables for the lane-friendly rotation form used inside the flash
+    kernel (ops/flash_pallas.py):
+
+        rot(x) = x * c2 + swap_pairs(x) * s2
+
+    where swap_pairs exchanges lanes (2j, 2j+1), c2 repeats each cos
+    value twice and s2 carries the pair signs (-sin[j], +sin[j]) — this
+    is exactly the adjacent-pair rotation of `apply_rope`, with the
+    strided pair access replaced by a lane roll the VPU vectorises.
+    """
+    s2 = jnp.stack([-sin, sin], axis=-1).reshape(sin.shape[0], -1)
+    c2 = jnp.stack([cos, cos], axis=-1).reshape(cos.shape[0], -1)
+    return s2.astype(jnp.float32), c2.astype(jnp.float32)
 
 
 class Rope3D:

@@ -220,6 +220,46 @@ def test_pallas_flash_grad_matches_xla(rng):
                                    atol=5e-3, rtol=5e-3)
 
 
+def test_pallas_flash_fused_rope(rng):
+    """rope= fuses the adjacent-pair rotation into the kernel's q/k block
+    loads; fwd and all grads must match rope-then-attention."""
+    from omnihuman_tpu.ops.rope import apply_rope, rope_angles_3d
+    b, n, d, l = 2, 2, 8, 48
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    sin, cos = rope_angles_3d((3, 4, 4), d, seq_len=l)
+    kl = jnp.asarray(np.array([l, l - 7], np.int32))
+    kw = dict(k_lens=kl, compute_dtype=jnp.float32, block_q=16, block_k=16,
+              interpret=True, precision=jax.lax.Precision.HIGHEST)
+
+    def loss_fused(q, k, v):
+        o = pallas_flash_attention(q, k, v, rope=(sin, cos), **kw)
+        return jnp.sum(jnp.square(o)), o
+
+    def loss_ref(q, k, v):
+        o = attention_xla(apply_rope(q, sin, cos), apply_rope(k, sin, cos),
+                          v, k_lens=kl, compute_dtype=jnp.float32)
+        return jnp.sum(jnp.square(o)), o
+
+    (_, of), gf = jax.value_and_grad(loss_fused, (0, 1, 2),
+                                      has_aux=True)(q, k, v)
+    (_, orf), gr = jax.value_and_grad(loss_ref, (0, 1, 2),
+                                       has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf), atol=2e-3)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_apply_rope_inverse_roundtrip(rng):
+    from omnihuman_tpu.ops.rope import apply_rope, rope_angles_3d
+    x = jnp.asarray(rng.normal(size=(2, 48, 3, 8)), jnp.float32)
+    sin, cos = rope_angles_3d((3, 4, 4), 8, seq_len=48)
+    back = apply_rope(apply_rope(x, sin, cos), sin, cos, inverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
 def test_flash_attention_dispatcher_cpu(rng):
     q = jnp.asarray(rng.normal(size=(1, 8, 1, 8)), jnp.float32)
     out = flash_attention(q, q, q)
