@@ -263,6 +263,46 @@ def convert_t5(sd: StateDict, cfg: T5Config) -> Dict[str, Any]:
     }
 
 
+def convert_t5_hf(sd: StateDict, cfg: T5Config) -> Dict[str, Any]:
+    """HuggingFace `UMT5EncoderModel` state dict → our T5 PyTree.
+
+    umT5 is the checkpoint family the reference targets (t5.py:465-478);
+    HF-format exports use `encoder.block.{i}.layer.{0,1}` naming with the
+    gated FFN split as wi_0 (gate) / wi_1 (linear). Our corrected encoder
+    block (models/t5.py — the reference's own block is truncated,
+    t5.py:175-185) is exactly the HF graph, so this mapping is lossless.
+    """
+    import jax
+
+    def block(i: int) -> Dict[str, Any]:
+        a = f"encoder.block.{i}.layer.0"
+        f = f"encoder.block.{i}.layer.1"
+        return {
+            "norm1": {"w": jnp.asarray(sd[f"{a}.layer_norm.weight"])},
+            "q": jnp.asarray(np.asarray(sd[f"{a}.SelfAttention.q.weight"]).T),
+            "k": jnp.asarray(np.asarray(sd[f"{a}.SelfAttention.k.weight"]).T),
+            "v": jnp.asarray(np.asarray(sd[f"{a}.SelfAttention.v.weight"]).T),
+            "o": jnp.asarray(np.asarray(sd[f"{a}.SelfAttention.o.weight"]).T),
+            "pos_emb": jnp.asarray(
+                sd[f"{a}.SelfAttention.relative_attention_bias.weight"]),
+            "norm2": {"w": jnp.asarray(sd[f"{f}.layer_norm.weight"])},
+            "gate": jnp.asarray(
+                np.asarray(sd[f"{f}.DenseReluDense.wi_0.weight"]).T),
+            "fc1": jnp.asarray(
+                np.asarray(sd[f"{f}.DenseReluDense.wi_1.weight"]).T),
+            "fc2": jnp.asarray(
+                np.asarray(sd[f"{f}.DenseReluDense.wo.weight"]).T),
+        }
+
+    tok = sd.get("shared.weight", sd.get("encoder.embed_tokens.weight"))
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "token_embedding": jnp.asarray(tok),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm": {"w": jnp.asarray(sd["encoder.final_layer_norm.weight"])},
+    }
+
+
 # ---------------------------------------------------------------------------
 # CLIP (XLM-RoBERTa ViT-H/14)
 

@@ -1,0 +1,214 @@
+"""End-to-end forward parity vs the actual PyTorch reference modules.
+
+This is the north-star conversion gate (BASELINE.json: converted weights
+must reproduce the reference forward): instantiate the reference modules
+with random weights, export their state dicts, convert via utils/convert.py,
+and assert our forward matches the torch forward in fp32.
+
+  - DiT: reference WanModel (model.py:377-563), t2v tiny + i2v tiny +
+    t2v at the real 1.3B dims (wan_t2v_1_3B.py:16-29).
+  - VAE: reference WanVAE_ (vae.py:483-566) encode/decode including the
+    streaming 1,4,4,... chunked path, tiny + real config dims.
+  - T5: the reference's own encoder block is truncated (drops the FFN,
+    t5.py:175-185), so the golden is HuggingFace UMT5EncoderModel — the
+    graph the umt5-xxl checkpoint was trained with (models/t5.py header).
+
+Golden numerics are fp32: the reference's CUDA autocasts are no-ops on CPU
+and its flash_attention is replaced by an exact fp32 SDPA with identical
+varlen masking (tests/ref_compat.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from ref_compat import load_reference
+from omnihuman_tpu.configs.wan import (
+    DTypePolicy, T5Config, VAEConfig, WanModelConfig)
+from omnihuman_tpu.models.t5 import t5_encode
+from omnihuman_tpu.models.vae import vae_decode, vae_encode
+from omnihuman_tpu.models.wan_dit import wan_model_forward
+from omnihuman_tpu.ops.rope import rope_angles_3d
+from omnihuman_tpu.utils.convert import (
+    convert_t5_hf, convert_vae, convert_wan_dit)
+
+FP32 = DTypePolicy(compute=jnp.float32)
+
+
+def _to_numpy_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# DiT
+
+
+def _dit_parity(ref_cfg: dict, ours_cfg: WanModelConfig, latent_shape,
+                seq_len: int, ctx_lens, atol: float, i2v: bool = False,
+                seed: int = 0):
+    _, ref_model, _ = load_reference()
+    torch.manual_seed(seed)
+    model = ref_model.WanModel(use_checkpoint=False, **ref_cfg).eval()
+    # xavier zeroes the output head (model.py:612) — re-randomize so parity
+    # covers the head projection too.
+    with torch.no_grad():
+        model.head.head.weight.normal_(std=0.02)
+
+    b = len(ctx_lens)
+    g = np.random.default_rng(seed)
+    x = g.normal(size=(b, *latent_shape)).astype(np.float32)
+    t = np.asarray([999.0, 31.0][:b], np.float32)
+    ctx = g.normal(size=(b, ours_cfg.text_len, ours_cfg.text_dim)
+                   ).astype(np.float32) * 0.2
+    for i, cl in enumerate(ctx_lens):  # zero the padding like the pipeline
+        ctx[i, cl:] = 0.0
+    clip_fea = (g.normal(size=(b, 257, 1280)).astype(np.float32) * 0.2
+                if i2v else None)
+    y = (g.normal(size=(b, 20, *latent_shape[1:])).astype(np.float32)
+         if i2v else None)
+
+    with torch.no_grad():
+        want = model(
+            [torch.from_numpy(u) for u in x],
+            torch.from_numpy(t),
+            [torch.from_numpy(ctx[i, :cl]) for i, cl in enumerate(ctx_lens)],
+            seq_len,
+            clip_fea=torch.from_numpy(clip_fea) if i2v else None,
+            y=[torch.from_numpy(u) for u in y] if i2v else None,
+        )
+    want = np.stack([u.numpy() for u in want])
+
+    params = convert_wan_dit(_to_numpy_sd(model), ours_cfg)
+    grid = tuple(s // p for s, p in zip(latent_shape[1:],
+                                        ours_cfg.patch_size))
+    sin, cos = rope_angles_3d(grid, ours_cfg.head_dim, seq_len=seq_len)
+    got = wan_model_forward(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        cfg=ours_cfg, seq_len=seq_len, rope_sin=sin, rope_cos=cos,
+        context_lens=jnp.asarray(ctx_lens, jnp.int32),
+        clip_fea=jnp.asarray(clip_fea) if i2v else None,
+        y=jnp.asarray(y) if i2v else None,
+        policy=FP32, remat=False)
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err <= atol, f"DiT parity max abs err {err:.2e} > {atol:.0e}"
+
+
+def test_dit_t2v_parity_tiny():
+    ref_cfg = dict(model_type="t2v", patch_size=(1, 2, 2), text_len=8,
+                   in_dim=16, dim=32, ffn_dim=64, freq_dim=16, text_dim=24,
+                   out_dim=16, num_heads=4, num_layers=2)
+    ours = WanModelConfig(text_len=8, dim=32, ffn_dim=64, freq_dim=16,
+                          text_dim=24, num_heads=4, num_layers=2)
+    # seq_len 40 > 32 tokens exercises the zero-pad path (model.py:521-522)
+    _dit_parity(ref_cfg, ours, (16, 2, 8, 8), seq_len=40,
+                ctx_lens=[8, 5], atol=1e-4)
+
+
+def test_dit_i2v_parity_tiny():
+    ref_cfg = dict(model_type="i2v", patch_size=(1, 2, 2), text_len=8,
+                   in_dim=36, dim=32, ffn_dim=64, freq_dim=16, text_dim=24,
+                   out_dim=16, num_heads=4, num_layers=2)
+    ours = WanModelConfig(model_type="i2v", text_len=8, in_dim=36, dim=32,
+                          ffn_dim=64, freq_dim=16, text_dim=24, num_heads=4,
+                          num_layers=2)
+    _dit_parity(ref_cfg, ours, (16, 2, 8, 8), seq_len=32,
+                ctx_lens=[6, 8], atol=1e-4, i2v=True)
+
+
+def test_dit_t2v_parity_real_1_3b_dims():
+    """Full 1.3B parameter count (wan_t2v_1_3B.py:16-29) on a small latent —
+    the conversion gate at real tensor shapes (VERDICT missing #1)."""
+    ref_cfg = dict(model_type="t2v", patch_size=(1, 2, 2), text_len=512,
+                   in_dim=16, dim=1536, ffn_dim=8960, freq_dim=256,
+                   text_dim=4096, out_dim=16, num_heads=12, num_layers=30)
+    ours = WanModelConfig()  # defaults are exactly t2v-1.3B
+    _dit_parity(ref_cfg, ours, (16, 1, 16, 16), seq_len=64,
+                ctx_lens=[512], atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# VAE
+
+
+def _vae_parity(ref_kw: dict, cfg: VAEConfig, video_shape, atol: float):
+    _, _, ref_vae = load_reference()
+    torch.manual_seed(0)
+    model = ref_vae.WanVAE_(**ref_kw).eval()
+
+    g = np.random.default_rng(1)
+    x = (g.normal(size=video_shape).astype(np.float32) * 0.5).clip(-1, 1)
+    scale = [0.0, 1.0]
+    with torch.no_grad():
+        mu_ref = model.encode(torch.from_numpy(x), scale).numpy()
+        dec_ref = model.decode(torch.from_numpy(mu_ref), scale).numpy()
+
+    params = convert_vae(_to_numpy_sd(model), cfg)
+    for streaming in (True, False):
+        mu = np.asarray(vae_encode(params, jnp.asarray(x), cfg,
+                                   streaming=streaming))
+        err = np.abs(mu - mu_ref).max()
+        assert err <= atol, (
+            f"VAE encode (streaming={streaming}) err {err:.2e}")
+    dec = np.asarray(vae_decode(params, jnp.asarray(mu_ref), cfg,
+                                streaming=True, clamp=False))
+    err = np.abs(dec - dec_ref).max()
+    assert err <= atol, f"VAE decode err {err:.2e}"
+
+
+def test_vae_parity_tiny():
+    cfg = VAEConfig(base_dim=16, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                    temporal_downsample=(True,),
+                    latent_mean=(0.0,) * 4, latent_std=(1.0,) * 4)
+    _vae_parity(dict(dim=16, z_dim=4, dim_mult=[1, 2], num_res_blocks=1,
+                     attn_scales=[], temperal_downsample=[True]),
+                cfg, (1, 3, 5, 16, 16), atol=1e-4)
+
+
+def test_vae_parity_real_config_dims():
+    """The real Wan VAE topology (_video_vae, vae.py:592-604: dim 96, z 16,
+    mult (1,2,4,4), temporal (F,T,T)) on a small spatial grid, with the
+    identity latent scale so raw conv outputs are compared."""
+    cfg = VAEConfig(latent_mean=(0.0,) * 16, latent_std=(1.0,) * 16)
+    _vae_parity(dict(dim=96, z_dim=16, dim_mult=[1, 2, 4, 4],
+                     num_res_blocks=2, attn_scales=[],
+                     temperal_downsample=[False, True, True]),
+                cfg, (1, 3, 9, 32, 32), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# T5 (golden: HuggingFace UMT5 — see module docstring)
+
+
+def test_t5_parity_vs_hf_umt5():
+    from transformers import UMT5Config, UMT5EncoderModel
+
+    hf_cfg = UMT5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=48, num_layers=3,
+        num_heads=4, relative_attention_num_buckets=16,
+        relative_attention_max_distance=64, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False,
+        use_cache=False, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = UMT5EncoderModel(hf_cfg).eval()
+
+    g = np.random.default_rng(2)
+    ids = g.integers(0, 64, size=(2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    mask[1, 6:] = 0
+    with torch.no_grad():
+        want = model(input_ids=torch.from_numpy(ids).long(),
+                     attention_mask=torch.from_numpy(mask).long()
+                     ).last_hidden_state.numpy()
+
+    cfg = T5Config(vocab_size=64, dim=32, dim_attn=32, dim_ffn=48,
+                   num_heads=4, num_layers=3, num_buckets=16, max_dist=64)
+    params = convert_t5_hf(_to_numpy_sd(model), cfg)
+    got = np.asarray(t5_encode(params, jnp.asarray(ids), jnp.asarray(mask),
+                               cfg, compute_dtype=jnp.float32))
+    # ours zeroes padded positions; HF leaves them arbitrary
+    valid = mask[..., None].astype(bool)
+    err = np.abs(np.where(valid, got - want, 0.0)).max()
+    assert err <= 1e-4, f"T5 parity max abs err {err:.2e}"
