@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from omnihuman_tpu.ops.flash_pallas import (
+    DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, _flash_bwd, _flash_fwd_nd)
+
 
 def _chunk_attention(q, k, v, k_len, scale, compute_dtype):
     """Per-chunk attention → (normalized out [B,Lq,N,D] fp32,
@@ -65,6 +68,117 @@ def _merge(o0, lse0, o1, lse1):
     return o, lse
 
 
+# ---------------------------------------------------------------------------
+# flash ring: per-chunk Pallas flash kernel + lse merge (VERDICT missing #2)
+#
+# The forward scans the KV ring calling the flash forward (with_lse=True) on
+# each resident chunk — per-device live memory is O(Lq_local·Lk_local /
+# block) inside the kernel, never a dense [B,N,Lq,Lk] logits array. The
+# backward is a second ring pass: with the GLOBAL lse and delta, per-chunk
+# flash backwards are independent and sum (dq) / travel home with the ring
+# (dk/dv) — the same structure the reference gets from flash-attn inside
+# xFuserLongContextAttention (xdit_context_parallel.py:179-184).
+
+
+def _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale, head_dim,
+                         interpret, block_q, block_k):
+    """q/k/v: [B, L_local, N*D] flattened. Returns (out, lse [B,N,Lq])."""
+    n_dev = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, lq, nd = q.shape
+    lk_local = k.shape[1]
+    n = nd // head_dim
+    perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+
+    def body(carry, i):
+        k_cur, v_cur, o_acc, lse_acc = carry
+        src = (my_idx + i) % n_dev
+        k_len = jnp.clip(seq_lens - src * lk_local, 0, lk_local)
+        o_i, lse_i = _flash_fwd_nd(
+            q, k_cur, v_cur, k_len, scale, False, (-1, -1), block_q,
+            block_k, interpret, jax.lax.Precision.DEFAULT, with_lse=True,
+            head_dim=head_dim)
+        o_i = o_i.astype(jnp.float32).reshape(b, lq, n, head_dim)
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (k_nxt, v_nxt, o_acc, lse_acc), None
+
+    o0 = jnp.zeros((b, lq, n, head_dim), jnp.float32)
+    lse0 = jnp.full((b, n, lq), -jnp.inf, jnp.float32)
+    (_, _, out, lse), _ = jax.lax.scan(body, (k, v, o0, lse0),
+                                       jnp.arange(n_dev))
+    return out.reshape(b, lq, nd).astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _ring_flash(q, k, v, seq_lens, axis_name, scale, head_dim, interpret,
+                block_q, block_k):
+    out, _ = _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale,
+                                  head_dim, interpret, block_q, block_k)
+    return out
+
+
+def _ring_flash_fwd_rule(q, k, v, seq_lens, axis_name, scale, head_dim,
+                         interpret, block_q, block_k):
+    out, lse = _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale,
+                                    head_dim, interpret, block_q, block_k)
+    return out, (q, k, v, seq_lens, out, lse)
+
+
+def _ring_flash_bwd_rule(axis_name, scale, head_dim, interpret, block_q,
+                         block_k, res, g):
+    q, k, v, seq_lens, out, lse = res
+    n_dev = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    lk_local = k.shape[1]
+    perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+    g = g.astype(q.dtype)
+
+    def body(carry, i):
+        k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
+        src = (my_idx + i) % n_dev
+        k_len = jnp.clip(seq_lens - src * lk_local, 0, lk_local)
+        dq_i, dk_i, dv_i = _flash_bwd(
+            (q, k_cur, v_cur, k_len, out, lse), g, scale, False, (-1, -1),
+            block_q, block_k, interpret, jax.lax.Precision.DEFAULT,
+            head_dim)
+        dq_acc = dq_acc + dq_i.astype(jnp.float32)
+        # dk/dv accumulators travel WITH their kv chunk: after n_dev hops
+        # each chunk's gradient lands back on its home device
+        dk_cur = jax.lax.ppermute(dk_cur + dk_i.astype(jnp.float32),
+                                  axis_name, perm)
+        dv_cur = jax.lax.ppermute(dv_cur + dv_i.astype(jnp.float32),
+                                  axis_name, perm)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (k_nxt, v_nxt, dk_cur, dv_cur, dq_acc), None
+
+    zeros_kv = jnp.zeros(k.shape, jnp.float32)
+    (_, _, dk, dv, dq), _ = jax.lax.scan(
+        body, (k, v, zeros_kv, zeros_kv, jnp.zeros(q.shape, jnp.float32)),
+        jnp.arange(n_dev))
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None)
+
+
+_ring_flash.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
+
+
+def _ring_flash_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
+                      compute_dtype, interpret: bool, block_q: int,
+                      block_k: int):
+    """shard_map body: [B, L_local, N, D] 4D wrapper around _ring_flash."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    out = _ring_flash(
+        q.astype(compute_dtype).reshape(b, lq, n * d),
+        k.astype(compute_dtype).reshape(b, lk, n * d),
+        v.astype(compute_dtype).reshape(b, lk, n * d),
+        seq_lens, axis_name, scale, d, interpret, block_q, block_k)
+    return out.reshape(b, lq, n, d).astype(q.dtype)
+
+
 def _ring_attention_local(q, k, v, seq_lens, *, axis_name: str,
                           scale: float, compute_dtype):
     """Per-device body under shard_map. q/k/v: [B, L_local, N, D];
@@ -100,19 +214,39 @@ def ring_attention(
     axis: str = "sp",
     softmax_scale: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
+    impl: str = "auto",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """Full (non-causal) varlen attention with the token axis sharded on
     `axis`. q/k/v: [B, L, N, D] global arrays; seq_lens: [B] global valid
-    counts (same contract as ops.attention.flash_attention)."""
+    counts (same contract as ops.attention.flash_attention).
+
+    impl: 'flash' (Pallas kernel per ring chunk — the scale-viable path,
+    O(block) memory), 'dense' (per-chunk jnp softmax — tiny shapes /
+    arbitrary head_dim on compiled backends), or 'auto'.
+    """
     from jax.experimental.shard_map import shard_map
     b, l, n, d = q.shape
     scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
     if seq_lens is None:
         seq_lens = jnp.full((b,), l, jnp.int32)
 
+    interpret = jax.default_backend() != "tpu"
+    if impl == "auto":
+        # compiled TPU kernels need lane-aligned head_dim; interpret mode
+        # (CPU tests) takes the flash path for any shape
+        impl = "flash" if (interpret or d % 128 == 0) else "dense"
+
     spec_x = P(None, axis, None, None)
-    fn = functools.partial(_ring_attention_local, axis_name=axis,
-                           scale=scale, compute_dtype=compute_dtype)
+    if impl == "flash":
+        fn = functools.partial(
+            _ring_flash_local, axis_name=axis, scale=scale,
+            compute_dtype=compute_dtype, interpret=interpret,
+            block_q=block_q, block_k=block_k)
+    else:
+        fn = functools.partial(_ring_attention_local, axis_name=axis,
+                               scale=scale, compute_dtype=compute_dtype)
     return shard_map(
         fn, mesh=mesh,
         in_specs=(spec_x, spec_x, spec_x, P(None)),
@@ -132,7 +266,7 @@ def ring_attention(
 
 
 def _ulysses_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
-                   compute_dtype):
+                   compute_dtype, impl: str = "flash"):
     """q/k/v: [B, L_local, N, D] → all_to_all → [B, L, N_local, D]."""
     n_dev = jax.lax.psum(1, axis_name)
 
@@ -155,7 +289,16 @@ def _ulysses_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
     qh = scatter_heads(q)
     kh = scatter_heads(k)
     vh = scatter_heads(v)
-    o, _ = _chunk_attention(qh, kh, vh, seq_lens, scale, compute_dtype)
+    if impl == "flash":
+        # full-sequence flash over the local head subset — replaces the
+        # dense [B, N_local, L, L] softmax that made Ulysses
+        # memory-infeasible at the flagship 32k tokens
+        from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
+        o = pallas_flash_attention(
+            qh, kh, vh, k_lens=seq_lens, softmax_scale=scale,
+            compute_dtype=compute_dtype).astype(jnp.float32)
+    else:
+        o, _ = _chunk_attention(qh, kh, vh, seq_lens, scale, compute_dtype)
     return gather_heads(o.astype(q.dtype))
 
 
@@ -166,6 +309,7 @@ def ulysses_attention(
     axis: str = "sp",
     softmax_scale: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Head-scatter sequence parallelism (requires num_heads % sp == 0)."""
     from jax.experimental.shard_map import shard_map
@@ -175,10 +319,14 @@ def ulysses_attention(
     scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
     if seq_lens is None:
         seq_lens = jnp.full((b,), l, jnp.int32)
+    if impl == "auto":
+        # pallas_flash_attention itself falls back to dense XLA for
+        # non-lane-aligned head dims on compiled backends
+        impl = "flash"
 
     spec_x = P(None, axis, None, None)
     fn = functools.partial(_ulysses_local, axis_name=axis, scale=scale,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, impl=impl)
     return shard_map(fn, mesh=mesh,
                      in_specs=(spec_x, spec_x, spec_x, P(None)),
                      out_specs=spec_x, check_rep=False)(q, k, v, seq_lens)

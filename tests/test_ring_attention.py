@@ -67,6 +67,57 @@ def test_ring_grad_matches_dense(sp_mesh, rng):
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_ring_flash_vs_dense_impl_varlen_grad(sp_mesh, rng):
+    """The Pallas-composed ring (impl='flash', VERDICT missing #2) matches
+    the dense-chunk ring AND the global dense golden, values + grads, with
+    a seq_lens that fully masks the last shard."""
+    b, l, n, d = 2, 32, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    lens = jnp.asarray([24, 13], jnp.int32)
+
+    def loss(impl):
+        def f(q, k, v):
+            o = ring_attention(q, k, v, sp_mesh, seq_lens=lens,
+                               compute_dtype=jnp.float32, impl=impl)
+            # rows past seq_lens are garbage by contract — mask them
+            valid = jnp.arange(l)[None, :, None, None] < lens[:, None,
+                                                               None, None]
+            return jnp.sum(jnp.square(jnp.where(valid, o, 0.0)))
+        return f
+
+    o_flash = ring_attention(q, k, v, sp_mesh, seq_lens=lens,
+                             compute_dtype=jnp.float32, impl="flash")
+    o_dense = attention_xla(q, k, v, k_lens=lens, compute_dtype=jnp.float32)
+    valid = np.arange(l)[None, :, None, None] < np.asarray(lens)[:, None,
+                                                                 None, None]
+    np.testing.assert_allclose(np.asarray(o_flash) * valid,
+                               np.asarray(o_dense) * valid,
+                               atol=2e-4, rtol=2e-4)
+
+    gf = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss("dense"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_ulysses_flash_matches_dense(sp_mesh, rng):
+    b, l, n, d = 1, 32, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    lens = jnp.asarray([27], jnp.int32)
+
+    from omnihuman_tpu.ops.ring_attention import ulysses_attention
+    got = ulysses_attention(q, k, v, sp_mesh, seq_lens=lens,
+                            compute_dtype=jnp.float32, impl="flash")
+    want = attention_xla(q, k, v, k_lens=lens, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_ring_inside_jit_with_sharded_inputs(sp_mesh, rng):
     from jax.sharding import NamedSharding, PartitionSpec as P
     b, l, n, d = 1, 32, 2, 8
