@@ -206,8 +206,12 @@ class OmniHumanEvaluator:
                 self.lip.sync_confidence(fake_videos[i], audio[i])
                 for i in range(len(fake_videos))]))
         hand = [self.hands.evaluate(v) for v in fake_videos]
-        metrics["hkc"] = float(np.nanmean([h["hkc"] for h in hand]))
-        metrics["hkv"] = float(np.nanmean([h["hkv"] for h in hand]))
+        # explicit NaN when no keypoint processor produced any values —
+        # avoids numpy's "Mean of empty slice" warning masquerading as data
+        hkc = [h["hkc"] for h in hand if np.isfinite(h["hkc"])]
+        hkv = [h["hkv"] for h in hand if np.isfinite(h["hkv"])]
+        metrics["hkc"] = float(np.mean(hkc)) if hkc else float("nan")
+        metrics["hkv"] = float(np.mean(hkv)) if hkv else float("nan")
         return metrics
 
     def evaluate_model(self, generate_fn: Callable, dataset,

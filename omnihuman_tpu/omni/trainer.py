@@ -200,38 +200,55 @@ class OmniHumanTrainer:
             self._step_cache[frozen] = jax.jit(step, donate_argnums=(0,))
         return self._step_cache[frozen]
 
-    def train_stage(self, stage_idx: int, data_iter, key) -> Dict:
-        """One stage (omnihuman_trainer.py:288-391)."""
+    def train_stage(self, stage_idx: int, data_iter, key,
+                    start_step: int = 0) -> Dict:
+        """One stage (omnihuman_trainer.py:288-391); `start_step` skips
+        already-completed steps on resume (":486-494")."""
         stage = self.stages[stage_idx]
         logger.info(f"Starting stage {stage_idx + 1} '{stage.name}' "
-                    f"for {stage.num_steps} steps; "
+                    f"at step {start_step}/{stage.num_steps}; "
                     f"ratios {stage.condition_ratios}")
-        acc_loss, nb = 0.0, 0
+        # losses stay device arrays between log points: float() only at the
+        # log cadence, so the host never serialises the dispatch queue
+        pending: List = []
         last = {}
-        for i in range(stage.num_steps):
+        step_fn = self._jit_step(stage.condition_ratios)
+        for i in range(start_step, stage.num_steps):
             batch = next(data_iter)
             key, sub = jax.random.split(key)
-            step_fn = self._jit_step(stage.condition_ratios)
             self.state, metrics = step_fn(self.state, batch, sub)
-            acc_loss += float(metrics["loss"])
-            nb += 1
-            gstep = int(self.state.step)
+            pending.append(metrics["loss"])
             if i % self.log_interval == 0:
-                last = {"loss": acc_loss / max(nb, 1), "stage": stage_idx}
+                gstep = int(self.state.step)
+                last = {"loss": float(jnp.mean(jnp.stack(pending))),
+                        "stage": stage_idx}
                 self.metric_writer(last, gstep)
-                acc_loss, nb = 0.0, 0
-            if gstep % self.checkpoint_interval == 0:
-                self.save_checkpoint(gstep, stage_idx)
+                pending = []
+            if ((i + 1) % self.checkpoint_interval == 0
+                    and (i + 1) < stage.num_steps):  # final save covers last
+                self.save_checkpoint(int(self.state.step), stage_idx)
         self.save_checkpoint(int(self.state.step), stage_idx, is_final=True)
         return last
 
-    def train(self, data_iter_factory, seed: int = 0):
+    def train(self, data_iter_factory, seed: int = 0,
+              resume: bool = False):
         """All stages; per-stage dataloader rebuild like the reference
-        (omnihuman_trainer.py:393-434)."""
+        (omnihuman_trainer.py:393-434). With resume=True, continues from
+        the checkpointed (step, stage) — completed stages are skipped and
+        the in-progress stage continues at its within-stage offset."""
         key = jax.random.key(seed)
-        for si in range(len(self.stages)):
+        start_stage, within = 0, 0
+        if resume:
+            gstep, start_stage = self.load_checkpoint()
+            offset = sum(s.num_steps for s in self.stages[:start_stage])
+            within = max(0, gstep - offset)
+            if within >= self.stages[start_stage].num_steps:
+                start_stage, within = start_stage + 1, 0
+        for si in range(start_stage, len(self.stages)):
             key, sub = jax.random.split(key)
-            self.train_stage(si, data_iter_factory(si), sub)
+            self.train_stage(si, data_iter_factory(si), sub,
+                             start_step=within if si == start_stage else 0)
+            within = 0
 
     # ---- checkpointing (omnihuman_trainer.py:171-211,486-494)
 
@@ -242,8 +259,16 @@ class OmniHumanTrainer:
 
     def load_checkpoint(self, step: Optional[int] = None
                         ) -> Tuple[int, int]:
+        """Restore state and return (global_step, stage) — the reference
+        contract (omnihuman_trainer.py:486-494)."""
         restored = self.ckpt.restore(step, target=self.state)
         if restored is None:
             return 0, 0
         self.state = restored
-        return int(self.state.step), 0
+        meta = self.ckpt.restore_metadata(step) or {}
+        stage = int(meta.get("stage", 0))
+        if meta.get("final"):
+            stage += 1  # stage completed → resume at the next one
+            if stage >= len(self.stages):
+                stage = len(self.stages) - 1
+        return int(self.state.step), stage

@@ -88,6 +88,31 @@ class CheckpointManager:
         treedef = jax.tree.structure(target)
         return jax.tree.unflatten(treedef, flat)
 
+    def restore_metadata(self, step: Optional[int] = None) -> Optional[Dict]:
+        """Read back the JSON metadata saved alongside `step` (None if the
+        step exists but was saved without metadata). Powers (step, stage)
+        resume (reference omnihuman_trainer.py:486-494)."""
+        if self._mgr is not None:
+            step = step if step is not None else self._mgr.latest_step()
+            if step is None:
+                return None
+            try:
+                out = self._mgr.restore(
+                    step, args=ocp.args.Composite(
+                        metadata=ocp.args.JsonRestore()))
+                return out.get("metadata")
+            except Exception:
+                return None
+        steps = self.all_steps()
+        if not steps:
+            return None
+        step = step if step is not None else steps[-1]
+        path = os.path.join(self.directory, f"step_{step:08d}", "meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f).get("metadata")
+
     def all_steps(self):
         if self._mgr is not None:
             return sorted(self._mgr.all_steps())

@@ -173,6 +173,49 @@ def test_trainer_stage_loop(tmp_path, omni):
     assert step == 5
 
 
+def test_trainer_stage_aware_resume(tmp_path, omni):
+    """Kill mid-stage-2 → a fresh trainer resumes in stage 2 at step k+1
+    (reference omnihuman_trainer.py:486-494 restores (step, stage))."""
+    params, batch = omni
+    stages = (StageConfig("s1", 3, {"text": 1.0, "reference": 1.0,
+                                    "audio": 0.0, "pose": 0.0}),
+              StageConfig("s2", 4, {"text": 1.0, "reference": 1.0,
+                                    "audio": 0.5, "pose": 0.0}))
+
+    def make_trainer(writer):
+        return OmniHumanTrainer(
+            jax.tree.map(jnp.copy, params), OCFG, stages=stages,
+            learning_rate=1e-4, checkpoint_dir=str(tmp_path / "ck"),
+            checkpoint_interval=2, log_interval=1, policy=FP32,
+            metric_writer=writer)
+
+    # run 1: stage 1 completes; stage 2 "crashes" after 2 steps (its
+    # iterator runs dry → StopIteration, like a killed job)
+    def crashing_factory(stage_idx):
+        n = 100 if stage_idx == 0 else 2
+        return iter([batch] * n)
+
+    t1 = make_trainer(lambda m, s: None)
+    with pytest.raises(StopIteration):
+        t1.train(crashing_factory, seed=0)
+    t1.ckpt.wait()
+    assert int(t1.state.step) == 5  # 3 (s1) + 2 (s2, checkpointed at 5)
+
+    # run 2: fresh process resumes — must land in stage 2 at step 2/4
+    seen_stages = []
+    t2 = make_trainer(lambda m, s: seen_stages.append(m["stage"]))
+    t2.train(lambda si: iter([batch] * 100), seed=0, resume=True)
+    assert int(t2.state.step) == 7          # 3 + 4, not re-run from 0
+    assert set(seen_stages) == {1}          # stage 1 never re-entered
+    step, stage = t2.load_checkpoint()
+    assert (step, stage) == (7, 1)
+
+    # run 3: resume after full completion is a no-op
+    t3 = make_trainer(lambda m, s: None)
+    t3.train(lambda si: iter([]), seed=0, resume=True)
+    assert int(t3.state.step) == 7
+
+
 def test_lr_schedules():
     for kind in ("cosine", "linear", "constant", "bogus"):
         s = make_lr_schedule(kind, 1e-3, 10)
