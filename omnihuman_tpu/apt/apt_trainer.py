@@ -178,10 +178,13 @@ def apt_g_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
             seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
             final_timestep=apt_cfg.num_train_timesteps, policy=policy,
             remat=True)
+        # stop_features=False: the generator's adversarial gradient flows
+        # through the (frozen-weight) D backbone — the reference's no_grad
+        # here (model.py:162-163) zeroes it, so its G never trains.
         fake_logits = apt_discriminator_forward(
             state.d_params, fake, t_shifted, batch["context"], cfg=cfg,
             seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
-            policy=policy)
+            policy=policy, stop_features=False, remat=True)
         return jnp.mean(jax.nn.softplus(-fake_logits))
 
     g_loss, grads = jax.value_and_grad(loss_fn)(state.g_params)

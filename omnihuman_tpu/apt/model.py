@@ -132,20 +132,30 @@ def apt_discriminator_forward(params, x, t, context, *,
                               rope_sin, rope_cos,
                               policy: DTypePolicy = DTypePolicy(),
                               context_lens=None,
-                              return_features: bool = False):
+                              return_features: bool = False,
+                              stop_features: bool = True,
+                              remat: bool = False):
     """Scalar real/fake logit [B, 1] (model.py:123-186).
 
     The timestep shift (s=1 image / s=12 video) is applied by the caller
     on normalized t (apt_trainer.py:109-111) — this function takes the
     already-shifted raw timestep like the reference backbone call.
+
+    stop_features: cut gradients at the tap activations. True matches the
+    reference's torch.no_grad backbone (model.py:162-163) and is correct
+    for the D update (only probes/head train). The G update MUST pass
+    False: the reference's no_grad there is a bug — it zeroes the
+    generator's adversarial gradient entirely, so its GAN can never train
+    G. With False, pass remat=True so the differentiable backbone forward
+    rematerialises instead of storing 30-40 layers of activations.
     """
     taps = sorted(int(k) for k in params["probes"])
     _, feats = wan_dit.wan_model_forward(
         params["backbone"], x, t, context, cfg=cfg, seq_len=seq_len,
-        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=False,
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=remat,
         context_lens=context_lens, collect_layers=taps)
-    # backbone frozen (reference runs it under no_grad, model.py:162-163)
-    feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
+    if stop_features:
+        feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
 
     probe_outs = [
         _probe_forward(params["probes"][str(tl)], feats[tl], cfg.num_heads)

@@ -404,23 +404,44 @@ def wan_model_forward(
         rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
         cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
 
-    if collect_layers is not None:
-        # Python loop variant that exposes per-layer activations.
-        taps = {}
-        h = tokens
-        for i in range(cfg.num_layers):
-            bp = jax.tree.map(lambda leaf: leaf[i], params["blocks"])
-            h = block_fn(bp, h, e0)
-            if i in collect_layers:
-                taps[i] = h
-        x_out = h
+    inner_fn = block_fn
+    if remat:
+        inner_fn = jax.checkpoint(
+            block_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
+    taps: Dict[int, jnp.ndarray] = {}
+    if collect_layers:
+        # Scan with tapped activations scattered into a fixed [T, B, S, dim]
+        # carry buffer — O(1) compile time in depth and remat-compatible,
+        # unlike an unrolled Python loop (the reference reads taps via
+        # forward hooks on an unrolled module list, seaweed_apt/
+        # model.py:150-155; at 40 layers an unrolled graph is a compile-
+        # size and activation-memory blowup, SURVEY §7.3).
+        taps_list = tuple(sorted(set(int(i) for i in collect_layers)))
+        taps_idx = jnp.asarray(taps_list, jnp.int32)
+        n_taps = len(taps_list)
+        tap_buf = jnp.zeros((n_taps,) + tokens.shape, tokens.dtype)
+
+        def scan_body(carry, inp):
+            h, buf = carry
+            bp, i = inp
+            h = inner_fn(bp, h, e0)
+            pos = jnp.clip(jnp.searchsorted(taps_idx, i), 0, n_taps - 1)
+            is_tap = taps_idx[pos] == i
+            buf = jax.lax.cond(
+                is_tap,
+                lambda b: jax.lax.dynamic_update_slice_in_dim(
+                    b, h[None].astype(b.dtype), pos, axis=0),
+                lambda b: b, buf)
+            return (h, buf), None
+
+        (x_out, tap_buf), _ = jax.lax.scan(
+            scan_body, (tokens, tap_buf),
+            (params["blocks"], jnp.arange(cfg.num_layers)))
+        taps = {layer: tap_buf[j] for j, layer in enumerate(taps_list)}
     else:
         def scan_body(carry, bp):
-            fn = block_fn
-            if remat:
-                fn = jax.checkpoint(
-                    fn, policy=jax.checkpoint_policies.nothing_saveable)
-            return fn(bp, carry, e0), None
+            return inner_fn(bp, carry, e0), None
 
         x_out, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
 

@@ -101,6 +101,33 @@ def test_discriminator_backbone_frozen(setup):
     assert probe_norm > 0.0
 
 
+def test_generator_receives_adversarial_gradient(setup):
+    """With stop_features=False the G-step gradient through the frozen
+    D backbone is nonzero. (The reference runs the D backbone under
+    torch.no_grad even in the G update — seaweed_apt/model.py:162-163 —
+    which zeroes the generator's adversarial gradient; deliberate fix.)"""
+    params, sin, cos, batch = setup
+    d_params = init_apt_discriminator(jax.random.key(5), params, CFG)
+    t = jnp.full((B,), 500.0)
+
+    def g_loss(gp, stop):
+        fake = apt_generator_forward(
+            gp, batch["noise"], batch["context"], cfg=CFG, seq_len=SEQ,
+            rope_sin=sin, rope_cos=cos, policy=FP32)
+        logits = apt_discriminator_forward(
+            d_params, fake, t, batch["context"], cfg=CFG, seq_len=SEQ,
+            rope_sin=sin, rope_cos=cos, policy=FP32,
+            stop_features=stop, remat=not stop)
+        return jnp.mean(jax.nn.softplus(-logits))
+
+    g_live = jax.grad(lambda p: g_loss(p, False))(params)
+    g_dead = jax.grad(lambda p: g_loss(p, True))(params)
+    l1 = lambda g: float(jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), g)))
+    assert l1(g_live) > 1e-6          # gradient flows
+    assert l1(g_dead) == 0.0          # reference semantics: all-zero
+
+
 def test_r1_loss_zero_at_sigma_zero(setup):
     params, sin, cos, batch = setup
     d = init_apt_discriminator(jax.random.key(1), params, CFG)

@@ -54,18 +54,60 @@ def test_zero_head_init_gives_zero_velocity():
     np.testing.assert_allclose(np.asarray(v), 0.0)
 
 
-def test_scan_matches_python_loop():
-    """collect_layers uses a Python loop — must equal the scan path."""
+def test_scan_tap_path_matches_plain_scan():
+    """collect_layers runs a tap-scattering scan — the velocity output must
+    equal the plain scan path, and the tap values must equal a manual
+    unrolled per-layer recomputation."""
     params = init_wan_model(jax.random.key(1), TINY)
     x, t, ctx, sin, cos = _inputs(TINY)
     kw = dict(cfg=TINY, seq_len=SEQ, rope_sin=sin, rope_cos=cos, policy=FP32)
     v_scan = wan_model_forward(params, x, t, ctx, remat=False, **kw)
-    v_loop, taps = wan_model_forward(params, x, t, ctx,
-                                     collect_layers=(0, 1), **kw)
-    np.testing.assert_allclose(np.asarray(v_scan), np.asarray(v_loop),
+    v_tap, taps = wan_model_forward(params, x, t, ctx,
+                                    collect_layers=(0, 1), **kw)
+    np.testing.assert_allclose(np.asarray(v_scan), np.asarray(v_tap),
                                atol=1e-5, rtol=1e-5)
     assert set(taps) == {0, 1}
     assert taps[0].shape == (B, SEQ, TINY.dim)
+
+    # tap values: manual unrolled loop over single-layer slices
+    from omnihuman_tpu.models import wan_dit as wd
+    import functools as ft
+    b = x.shape[0]
+    tokens = wd._patchify(params, x, TINY, FP32)
+    e = wd.sinusoidal_embedding_1d(TINY.freq_dim, t)
+    e = wd._linear(params["time_fc1"], e, jnp.float32)
+    e = wd._linear(params["time_fc2"], jax.nn.silu(e))
+    e0 = wd._linear(params["time_proj"], jax.nn.silu(e)).reshape(
+        b, 6, TINY.dim)
+    c = wd._linear(params["text_fc1"], ctx, jnp.float32)
+    c = wd._linear(params["text_fc2"], jax.nn.gelu(c, approximate=True))
+    seq_lens = jnp.full((b,), SEQ, jnp.int32)
+    h = tokens
+    for i in range(TINY.num_layers):
+        bp = jax.tree.map(lambda l: l[i], params["blocks"])
+        h = wd._block_forward(bp, h, e0, c, None, sin, cos, seq_lens,
+                              TINY, FP32, "auto")
+        np.testing.assert_allclose(np.asarray(taps[i]), np.asarray(h),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_tap_scan_remat_and_subset():
+    """Tap scan composes with remat and non-contiguous subsets."""
+    params = init_wan_model(jax.random.key(3), dataclasses.replace(
+        TINY, num_layers=4))
+    cfg4 = dataclasses.replace(TINY, num_layers=4)
+    x, t, ctx, sin, cos = _inputs(cfg4)
+    kw = dict(cfg=cfg4, seq_len=SEQ, rope_sin=sin, rope_cos=cos, policy=FP32)
+    v_all, taps_all = wan_model_forward(params, x, t, ctx, remat=False,
+                                        collect_layers=(0, 1, 2, 3), **kw)
+    v_sub, taps_sub = wan_model_forward(params, x, t, ctx, remat=True,
+                                        collect_layers=(1, 3), **kw)
+    np.testing.assert_allclose(np.asarray(v_all), np.asarray(v_sub),
+                               atol=1e-5, rtol=1e-5)
+    for i in (1, 3):
+        np.testing.assert_allclose(np.asarray(taps_all[i]),
+                                   np.asarray(taps_sub[i]),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_jit_and_remat():
