@@ -3,9 +3,11 @@
 Capability parity with reference Omnihuman/inference.py:13-247 — which
 imports a module that does not exist in the reference repo (SURVEY §2.8:
 `from omnihuman import OmniHumanSeaweedWan`); this is the WORKING version
-of that intent: audio features from a wav (log-mel, wav2vec hook),
+of that intent: registry model configs (--task, 1.3B by default), real
+T5-encoded prompts, audio features from a wav (log-mel, wav2vec hook),
 keypoint heatmaps via the pluggable processor, reference image
-conditioning, omni DiT sampling, video save.
+conditioning, omni DiT sampling with CFG annealing
+(omnihuman_wan_t2v.py:432-438), video save.
 """
 
 import argparse
@@ -13,20 +15,27 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser("omnihuman-tpu omni-inference")
+    p.add_argument("--task", default="t2v-1.3B",
+                   help="registry config (t2v-1.3B, t2v-14B, tiny-test, …)")
     p.add_argument("--reference_image", required=True)
     p.add_argument("--audio", default=None, help="wav file")
     p.add_argument("--pose_video", default=None,
                    help="driving video for pose heatmaps")
     p.add_argument("--prompt", default="a person talking")
-    p.add_argument("--checkpoint", default=None, help="orbax state dir")
-    p.add_argument("--num_frames", type=int, default=8,
-                   help="latent frames")
-    p.add_argument("--latent_size", type=int, nargs=2, default=(8, 8))
+    p.add_argument("--neg_prompt", default=None,
+                   help="negative prompt (default: registry zh default)")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="converted Wan weights for VAE/T5 (+ DiT init)")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax omni train-state dir")
+    p.add_argument("--size", default="256*256",
+                   help="pixel W*H of the output")
+    p.add_argument("--num_frames", type=int, default=13,
+                   help="latent frames (pixel frames = 4f-3)")
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", default="omnihuman_output.mp4")
-    p.add_argument("--model_dim", type=int, default=64)
     args = p.parse_args(argv)
 
     import jax
@@ -34,8 +43,8 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
-    from omnihuman_tpu.configs.wan import (DTypePolicy, VAEConfig,
-                                           WanModelConfig)
+    from omnihuman_tpu.configs import WAN_CONFIGS
+    from omnihuman_tpu.models.t5 import T5TextEncoder
     from omnihuman_tpu.models.vae import init_vae, vae_decode, vae_encode
     from omnihuman_tpu.omni.dataset import AudioFeatureExtractor, read_wav
     from omnihuman_tpu.omni.model import (
@@ -44,48 +53,75 @@ def main(argv=None):
     from omnihuman_tpu.utils.logging import logger
     from omnihuman_tpu.utils.media import cache_video
 
-    base = WanModelConfig(dim=args.model_dim, ffn_dim=args.model_dim * 2,
-                          num_heads=4, num_layers=2, freq_dim=32,
-                          text_dim=32, text_len=16)
-    ocfg = OmniModelConfig(base=base, audio_dim=64,
-                           num_frames=args.num_frames)
-    vcfg = VAEConfig(base_dim=8, z_dim=16, dim_mult=(1, 1, 1, 1),
-                     num_res_blocks=1,
-                     temporal_downsample=(False, True, True))
-    policy = DTypePolicy(compute=jnp.float32)
+    cfg = WAN_CONFIGS[args.task]
+    base, vcfg, policy = cfg.model, cfg.vae, cfg.policy
+    ocfg = OmniModelConfig(base=base, num_frames=args.num_frames)
 
-    params = init_omni_model(jax.random.key(0), ocfg)
-    vae_params = init_vae(jax.random.key(1), vcfg)
-    if args.checkpoint:
-        from omnihuman_tpu.utils.checkpoint import CheckpointManager
-        restored = CheckpointManager(args.checkpoint).restore(target=params)
-        if restored is not None:
-            params = restored
-
-    h_lat, w_lat = args.latent_size
+    w_px, h_px = (int(v) for v in args.size.replace("x", "*").split("*"))
+    h_lat, w_lat = h_px // cfg.vae_stride[1], w_px // cfg.vae_stride[2]
     f_lat = args.num_frames
 
-    # reference image → VAE latent (omni ref conditioning)
+    # ---- weights ------------------------------------------------------------
+    base_params = None
+    if args.ckpt_dir:
+        import os
+
+        from omnihuman_tpu.utils import convert
+        dit_sd = {}
+        for fn in sorted(os.listdir(args.ckpt_dir)):
+            if fn.endswith(".safetensors"):
+                dit_sd.update(convert.load_torch_state_dict(
+                    os.path.join(args.ckpt_dir, fn)))
+        if dit_sd:
+            base_params = convert.convert_wan_dit(dit_sd, base)
+        vae_path = os.path.join(args.ckpt_dir, "Wan2.1_VAE.pth")
+        vae_params = (convert.convert_vae(
+            convert.load_torch_state_dict(vae_path), vcfg)
+            if os.path.exists(vae_path)
+            else init_vae(jax.random.key(1), vcfg))
+    else:
+        vae_params = init_vae(jax.random.key(1), vcfg)
+    params = init_omni_model(jax.random.key(0), ocfg,
+                             base_params=base_params)
+    if args.checkpoint:
+        from omnihuman_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore()  # raw tree: bare params or a train state
+        if restored is not None:
+            if isinstance(restored, dict) and "params" in restored:
+                restored = restored["params"]  # OmniTrainState layout
+            params = jax.tree.map(jnp.asarray, restored)
+            logger.info(f"omni params <- {args.checkpoint}")
+
+    # ---- text (real T5 context, omnihuman_wan_t2v.py:270-275) ---------------
+    text_encoder = T5TextEncoder(cfg.t5, cfg.text_len,
+                                 tokenizer_name=cfg.t5_tokenizer,
+                                 ckpt_dir=args.ckpt_dir)
+    ctx = text_encoder([args.prompt])
+    ctx_null = text_encoder([args.neg_prompt or cfg.sample_neg_prompt])
+
+    # ---- reference image → VAE latent ---------------------------------------
     img = Image.open(args.reference_image).convert("RGB")
-    img = img.resize((w_lat * 8, h_lat * 8))
+    img = img.resize((w_px, h_px))
     ref = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0
                       ).transpose(2, 0, 1)[None, :, None]
     ref_lat = vae_encode(vae_params, ref, vcfg, streaming=True)
 
-    # audio features (inference.py:29-56 used a librosa-mel placeholder;
-    # ours are the dataset's real log-mel features)
+    # ---- audio features (inference.py:29-56 used a librosa-mel placeholder;
+    # ours are the dataset's real log-mel features) ---------------------------
     audio = None
     if args.audio:
         waveform, sr = read_wav(args.audio)
         ext = AudioFeatureExtractor(dim=ocfg.audio_dim)
         audio = jnp.asarray(ext(waveform, sr, f_lat))[None]
 
-    # pose heatmaps from a driving video (inference.py:58-126)
+    # ---- pose heatmaps from a driving video (inference.py:58-126) -----------
     pose = None
     if args.pose_video:
-        from omnihuman_tpu.omni.keypoints import SapiensKeypointProcessor
-        from omnihuman_tpu import native
         import cv2
+
+        from omnihuman_tpu import native
+        from omnihuman_tpu.omni.keypoints import SapiensKeypointProcessor
         kp_proc = SapiensKeypointProcessor()
         cap = cv2.VideoCapture(args.pose_video)
         kps = []
@@ -102,12 +138,12 @@ def main(argv=None):
             kps.append(kps[-1] if kps
                        else np.zeros((ocfg.num_keypoints, 3), np.float32))
         hm = native.gaussian_heatmaps(np.stack(kps),
-                                      (h_lat * 2 * 2, w_lat * 2 * 2))
+                                      (h_lat * 2, w_lat * 2))
         pose = jnp.asarray(hm.transpose(1, 0, 2, 3))[None]
 
-    ctx = jnp.zeros((1, base.text_len, base.text_dim), jnp.float32)
     noise = jax.random.normal(jax.random.key(args.seed),
-                              (1, 16, f_lat, h_lat, w_lat), jnp.float32)
+                              (1, vcfg.z_dim, f_lat, h_lat, w_lat),
+                              jnp.float32)
 
     sol = FlowDPMSolver(steps=args.num_inference_steps, shift=1.0)
 
@@ -120,7 +156,7 @@ def main(argv=None):
         v_c = omni_model_forward(params, x, tb, ctx, cfg=ocfg, audio=audio,
                                  pose=pose, ref_latent=ref_lat,
                                  policy=policy, remat=False)
-        v_u = omni_model_forward(params, x, tb, ctx, cfg=ocfg,
+        v_u = omni_model_forward(params, x, tb, ctx_null, cfg=ocfg,
                                  policy=policy, remat=False)
         return v_u + cfg_t * (v_c - v_u)
 

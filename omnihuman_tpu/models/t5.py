@@ -180,3 +180,58 @@ def t5_encode(
 
 def count_t5_params(params: Params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+class T5TextEncoder:
+    """Tokenizer + umT5 parameter bundle with a prompt cache.
+
+    The standalone equivalent of the reference's `T5EncoderModel`
+    (t5.py:465-529: checkpoint load + tokenizer + encode) used by every
+    consumer that needs text embeddings without a full generation
+    pipeline (omni trainer/inference). Params come from a converted
+    torch checkpoint (`models_t5_umt5-xxl-enc-bf16.pth` in ckpt_dir) or
+    random init (smoke runs). Repeated prompts (video captions recur
+    every epoch) hit a host-side cache instead of re-encoding.
+    """
+
+    def __init__(self, cfg: T5Config, text_len: int,
+                 tokenizer_name: str = "google/umt5-xxl",
+                 ckpt_dir: Optional[str] = None,
+                 param_dtype: jnp.dtype = jnp.bfloat16,
+                 seed: int = 0, cache_size: int = 4096):
+        import os
+
+        from omnihuman_tpu.models.tokenizers import HuggingfaceTokenizer
+
+        self.cfg = cfg
+        self.text_len = text_len
+        self.tokenizer = HuggingfaceTokenizer(
+            name=tokenizer_name, seq_len=text_len, clean="whitespace")
+        cast = lambda t: jax.tree.map(lambda x: x.astype(param_dtype), t)
+        t5_path = (os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
+                   if ckpt_dir else None)
+        if t5_path and os.path.exists(t5_path):
+            from omnihuman_tpu.utils import convert
+            self.params = cast(convert.convert_t5(
+                convert.load_torch_state_dict(t5_path), cfg))
+        else:
+            self.params = jax.jit(lambda k: cast(init_t5_encoder(k, cfg)))(
+                jax.random.key(seed))
+        self._encode = jax.jit(
+            lambda p, ids, mask: t5_encode(p, ids, mask, cfg))
+        self._cache: Dict[str, np.ndarray] = {}
+        self._cache_size = cache_size
+
+    def __call__(self, prompts) -> jnp.ndarray:
+        """[str, ...] → [B, text_len, dim] fp32 context."""
+        missing = [p for p in dict.fromkeys(prompts)
+                   if p not in self._cache]
+        if missing:
+            ids, mask = self.tokenizer(missing, return_mask=True)
+            ctx = np.asarray(self._encode(self.params, jnp.asarray(ids),
+                                          jnp.asarray(mask)), np.float32)
+            if len(self._cache) + len(missing) > self._cache_size:
+                self._cache.clear()
+            for p, c in zip(missing, ctx):
+                self._cache[p] = c
+        return jnp.asarray(np.stack([self._cache[p] for p in prompts]))
