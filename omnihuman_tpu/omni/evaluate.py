@@ -41,7 +41,9 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     ca = np.cov(feats_a, rowvar=False)
     cb = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    covmean, _ = linalg.sqrtm(ca @ cb, disp=False)
+    covmean = linalg.sqrtm(ca @ cb)
+    if isinstance(covmean, tuple):   # older scipy returns (sqrtm, errest)
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(ca + cb - 2.0 * covmean))
@@ -175,7 +177,27 @@ class OmniHumanEvaluator:
                  keypoint_processor=None,
                  audio_embed_fn: Optional[Callable] = None,
                  visual_embed_fn: Optional[Callable] = None,
-                 output_dir: str = "eval_results"):
+                 output_dir: str = "eval_results",
+                 use_inception: bool = True,
+                 inception_weights: Optional[str] = None):
+        if use_inception and (fid_feature_fn is None
+                              or fvd_feature_fn is None):
+            # real InceptionV3 pool3 features (reference used torchmetrics'
+            # InceptionV3, omnihuman-eval.py:20-28); converted torch
+            # weights via `inception_weights`, else deterministic random
+            # init (documented content-sensitive proxy)
+            from omnihuman_tpu.omni.inception import InceptionFeatures
+            self.inception = InceptionFeatures(inception_weights)
+            if not self.inception.pretrained:
+                logger.warning(
+                    "no InceptionV3 weights supplied: FID/FVD use a "
+                    "deterministic random-init Inception (pass "
+                    "inception_weights=<pt_inception .pth> for standard "
+                    "FID)")
+            fid_feature_fn = fid_feature_fn or self.inception
+            fvd_feature_fn = fvd_feature_fn or self.inception.video_features
+        else:
+            self.inception = None
         self.fid = FrechetInceptionDistance(fid_feature_fn)
         self.fvd = VideoFrechetInceptionDistance(fvd_feature_fn)
         self.lip = LipSyncEvaluator(audio_embed_fn, visual_embed_fn)
