@@ -92,6 +92,224 @@ def attention_xla(
     return out.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# chunked (flash-style) attention in plain XLA, with a flash custom VJP
+
+
+def _to_chunks(x, c):
+    """[B, L, N, D] → [L/c, B, N, c, D]."""
+    b, l, n, d = x.shape
+    return x.reshape(b, l // c, c, n, d).transpose(1, 0, 3, 2, 4)
+
+
+def _from_chunks(x):
+    """[nc, B, N, c, D] → [B, L, N, D]."""
+    nc, b, n, c, d = x.shape
+    return x.transpose(1, 0, 3, 2, 4).reshape(b, nc * c, n, d)
+
+
+def _block_mask(km, q0, k0, cq, ck, causal, window, diag):
+    """[B,1,cq|1,ck] bool mask for one (q-chunk, k-chunk) tile.
+    km is float (1.0 = valid) — bools can't flow through custom_vjp."""
+    mask = (km > 0)[:, None, None, :]                        # [B,1,1,ck]
+    left, right = window
+    if causal or window != (-1, -1):
+        qi = (q0 + jnp.arange(cq))[:, None] + diag           # [cq,1]
+        ki = (k0 + jnp.arange(ck))[None, :]                  # [1,ck]
+        idx_ok = jnp.ones((cq, ck), bool)
+        if causal:
+            idx_ok = idx_ok & (ki <= qi)
+        if left >= 0:
+            idx_ok = idx_ok & (qi - ki <= left)
+        if right >= 0:
+            idx_ok = idx_ok & (ki - qi <= right)
+        mask = mask & idx_ok[None, None]
+    return mask
+
+
+def _hi_einsum(expr, a, b):
+    return jnp.einsum(expr, a, b, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _chunked_fwd_impl(q, k, v, kmask, scale, causal, window, cq, ck, diag):
+    """Padded [B, Lp, N, D] inputs → (out [B,Lqp,N,D] q-dtype,
+    lse [B,Lqp,N] fp32)."""
+    b, lqp, n, d = q.shape
+    qr = _to_chunks(q, cq)
+    kr = _to_chunks(k, ck)
+    vr = _to_chunks(v, ck)
+    nk = kr.shape[0]
+    kmask_r = kmask.reshape(b, nk, ck).transpose(1, 0, 2)    # [nk,B,ck]
+    q_starts = jnp.arange(qr.shape[0]) * cq
+    k_starts = jnp.arange(nk) * ck
+
+    def q_body(_, q_in):
+        q_blk, q0 = q_in                                     # [B,N,cq,d]
+
+        def k_body(carry, k_in):
+            m, l, acc = carry
+            k_blk, v_blk, km, k0 = k_in
+            logits = _hi_einsum("bnqd,bnkd->bnqk", q_blk, k_blk)
+            logits = logits * jnp.float32(scale)
+            mask = _block_mask(km, q0, k0, cq, ck, causal, window, diag)
+            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, logits.max(-1))
+            # masked entries contribute exactly 0 (fully-masked rows
+            # return 0 like the flash kernels, not the dense path's
+            # uniform-average artifact)
+            p = jnp.exp(logits - m_new[..., None]) * mask
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p.sum(-1)
+            pv = _hi_einsum("bnqk,bnkd->bnqd", p.astype(q.dtype), v_blk)
+            acc = acc * corr[..., None] + pv
+            return (m_new, l, acc), None
+
+        init = (jnp.full((b, n, cq), -1e30, jnp.float32),
+                jnp.zeros((b, n, cq), jnp.float32),
+                jnp.zeros((b, n, cq, d), jnp.float32))
+        (m, l, acc), _ = jax.lax.scan(k_body, init,
+                                      (kr, vr, kmask_r, k_starts))
+        out = (acc / jnp.maximum(l, 1e-20)[..., None]).astype(q.dtype)
+        lse = m + jnp.log(jnp.maximum(l, 1e-20))
+        return None, (out, lse)
+
+    _, (outs, lses) = jax.lax.scan(q_body, None, (qr, q_starts))
+    return _from_chunks(outs), lses.transpose(1, 0, 3, 2).reshape(b, lqp, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _chunked_attn(q, k, v, kmask, scale, causal, window, cq, ck, diag):
+    out, _ = _chunked_fwd_impl(q, k, v, kmask, scale, causal, window,
+                               cq, ck, diag)
+    return out
+
+
+def _chunked_attn_fwd(q, k, v, kmask, scale, causal, window, cq, ck, diag):
+    out, lse = _chunked_fwd_impl(q, k, v, kmask, scale, causal, window,
+                                 cq, ck, diag)
+    return out, (q, k, v, kmask, out, lse)
+
+
+def _chunked_attn_bwd(scale, causal, window, cq, ck, diag, res, dout):
+    """Flash backward: recompute p per (q,k) tile from the saved lse —
+    O(L) residuals (q, k, v, out, lse) instead of autodiff-of-scan's
+    per-tile probability stash."""
+    q, k, v, kmask, out, lse = res
+    b, lqp, n, d = q.shape
+    cd = q.dtype
+
+    qr = _to_chunks(q, cq)
+    kr = _to_chunks(k, ck)
+    vr = _to_chunks(v, ck)
+    dor = _to_chunks(dout.astype(cd), cq)
+    nq, nk = qr.shape[0], kr.shape[0]
+    kmask_r = kmask.reshape(b, nk, ck).transpose(1, 0, 2)
+    lse_r = lse.reshape(b, nq, cq, n).transpose(1, 0, 3, 2)  # [nq,B,N,cq]
+    # delta = rowsum(dout * out)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), -1)
+    delta_r = delta.reshape(b, nq, cq, n).transpose(1, 0, 3, 2)
+    q_starts = jnp.arange(nq) * cq
+    k_starts = jnp.arange(nk) * ck
+
+    def q_body(carry, q_in):
+        dk_full, dv_full = carry          # [B,N,Lkp,D] fp32 each
+        q_blk, do_blk, lse_blk, delta_blk, q0 = q_in
+
+        def k_body(kcarry, k_in):
+            dq_blk, dk_full, dv_full = kcarry
+            k_blk, v_blk, km, k0 = k_in
+            logits = _hi_einsum("bnqd,bnkd->bnqk", q_blk, k_blk)
+            logits = logits * jnp.float32(scale)
+            mask = _block_mask(km, q0, k0, cq, ck, causal, window, diag)
+            p = jnp.exp(jnp.where(mask, logits, -1e30)
+                        - lse_blk[..., None]) * mask         # [B,N,cq,ck]
+            dv_c = _hi_einsum("bnqk,bnqd->bnkd", p.astype(cd), do_blk)
+            dp = _hi_einsum("bnqd,bnkd->bnqk", do_blk, v_blk)
+            ds = p * (dp - delta_blk[..., None]) * jnp.float32(scale)
+            dq_blk = dq_blk + _hi_einsum("bnqk,bnkd->bnqd",
+                                         ds.astype(cd), k_blk)
+            dk_c = _hi_einsum("bnqk,bnqd->bnkd", ds.astype(cd), q_blk)
+            upd = lambda full, c: jax.lax.dynamic_update_slice(
+                full, jax.lax.dynamic_slice(
+                    full, (0, 0, k0, 0), (b, n, ck, d)) + c,
+                (0, 0, k0, 0))
+            return (dq_blk, upd(dk_full, dk_c), upd(dv_full, dv_c)), None
+
+        init = (jnp.zeros((b, n, cq, d), jnp.float32), dk_full, dv_full)
+        (dq_blk, dk_full, dv_full), _ = jax.lax.scan(
+            k_body, init, (kr, vr, kmask_r, k_starts))
+        return (dk_full, dv_full), dq_blk
+
+    zeros_kv = jnp.zeros((b, n, k.shape[1], d), jnp.float32)
+    (dk_full, dv_full), dq_blocks = jax.lax.scan(
+        q_body, (zeros_kv, zeros_kv),
+        (qr, dor, lse_r, delta_r, q_starts))
+
+    dq = _from_chunks(dq_blocks).astype(q.dtype)
+    dk = dk_full.transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv_full.transpose(0, 2, 1, 3).astype(v.dtype)
+    return dq, dk, dv, jnp.zeros_like(kmask)
+
+
+_chunked_attn.defvjp(_chunked_attn_fwd, _chunked_attn_bwd)
+
+
+def attention_xla_chunked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_lens: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    q_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    chunk_q: int = 1024,
+    chunk_k: int = 1024,
+) -> jnp.ndarray:
+    """Flash-style attention in plain XLA: two-level lax.scan over
+    (q-chunk, k-chunk) tiles with running (max, sum, acc) — O(chunk^2)
+    live memory instead of the dense [B, N, Lq, Lk] logits, and a flash
+    custom VJP (recompute-per-tile from the saved lse) so GRADIENTS are
+    O(L) too.
+
+    Used (a) as the portable O(L)-memory fallback on non-TPU backends at
+    long sequence lengths, and (b) to make AOT memory analysis on the CPU
+    backend representative of the TPU Pallas kernel's memory behaviour
+    (the dense golden path would report the quadratic logits as temp).
+    Numerics match `attention_xla` (same -1e30 masking, fp32 softmax),
+    except fully-masked rows return 0 like the flash kernels.
+    """
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    out_dtype = q.dtype
+    scale = float(softmax_scale if softmax_scale is not None
+                  else d ** -0.5)
+
+    qc = q.astype(compute_dtype)
+    if q_scale is not None:
+        qc = qc * jnp.asarray(q_scale, compute_dtype)
+    kc = k.astype(compute_dtype)
+    vc = v.astype(compute_dtype)
+
+    cq, ck = min(chunk_q, lq), min(chunk_k, lk)
+    pq, pk = -lq % cq, -lk % ck
+    qc = jnp.pad(qc, ((0, 0), (0, pq), (0, 0), (0, 0)))
+    kc = jnp.pad(kc, ((0, 0), (0, pk), (0, 0), (0, 0)))
+    vc = jnp.pad(vc, ((0, 0), (0, pk), (0, 0), (0, 0)))
+
+    kvalid = jnp.arange(lk + pk) < lk                        # [Lk+pk]
+    kmask = jnp.broadcast_to(kvalid[None], (b, lk + pk))
+    lm = _length_mask(k_lens, lk, b)
+    if lm is not None:
+        kmask = kmask & jnp.pad(lm, ((0, 0), (0, pk)))
+
+    out = _chunked_attn(qc, kc, vc, kmask.astype(jnp.float32),
+                        scale, causal, tuple(window_size), cq, ck, lk - lq)
+    return out[:, :lq].astype(out_dtype)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -117,13 +335,23 @@ def flash_attention(
         implementation = (
             "pallas" if jax.default_backend() == "tpu" else "xla")
 
-    if implementation in ("ring", "ulysses"):
-        # sequence-parallel paths need the active mesh (parallel.use_mesh)
+    if implementation in ("ring", "ulysses", "sp_cross"):
+        # sequence-parallel paths need the active mesh (parallel.use_mesh).
+        # With a mesh active the shard_map path is taken even at sp=1:
+        # a bare Pallas call inside a mesh-jit cannot be partitioned by
+        # GSPMD ("Mosaic kernels cannot be automatically partitioned"),
+        # and ring/sp_cross degrade gracefully to one local kernel call.
         from omnihuman_tpu.parallel.mesh import current_mesh
         mesh = current_mesh()
-        if mesh is None or mesh.shape.get("sp", 1) == 1:
+        if mesh is None:
             implementation = ("pallas" if jax.default_backend() == "tpu"
                               else "xla")
+        elif implementation == "sp_cross":
+            # q tokens sharded, short K/V replicated (DiT cross-attention)
+            from omnihuman_tpu.ops.ring_attention import sp_cross_attention
+            return sp_cross_attention(q, k, v, mesh, k_lens=k_lens,
+                                      softmax_scale=softmax_scale,
+                                      compute_dtype=dtype)
         else:
             from omnihuman_tpu.ops.ring_attention import (
                 ring_attention, ulysses_attention)
@@ -138,6 +366,11 @@ def flash_attention(
             q, k, v, q_lens=q_lens, k_lens=k_lens,
             softmax_scale=softmax_scale, q_scale=q_scale, causal=causal,
             window_size=window_size, compute_dtype=dtype)
+    if implementation == "xla_chunked":
+        return attention_xla_chunked(
+            q, k, v, k_lens=k_lens, softmax_scale=softmax_scale,
+            q_scale=q_scale, causal=causal, window_size=window_size,
+            compute_dtype=dtype)
     return attention_xla(
         q, k, v, q_lens=q_lens, k_lens=k_lens, softmax_scale=softmax_scale,
         q_scale=q_scale, causal=causal, window_size=window_size,

@@ -77,28 +77,9 @@ def _mask_block(iq, ik, block_q, block_k, k_len, lk_total, lq_total,
 # forward
 
 
-def _swap_pairs(x):
-    """Exchange lanes (2j, 2j+1) — two lane rolls + a parity select,
-    all VPU-vectorisable (no strided pair access)."""
-    right = jnp.roll(x, -1, axis=1)       # y[i] = x[i+1]
-    left = jnp.roll(x, 1, axis=1)         # y[i] = x[i-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane % 2 == 0, right, left)
-
-
-def _rot_block(x, s2, c2):
-    """Adjacent-pair RoPE on a [rows, D] block via full-width tables
-    (ops/rope.py `rope_tables_full`); fp32 math, caller casts back."""
-    xf = x.astype(jnp.float32)
-    return xf * c2 + _swap_pairs(xf) * s2
-
-
 def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
                 window, lq_total, lk_total, block_q, block_k, num_k_blocks,
-                precision, with_lse, fuse_rope):
-    if fuse_rope:
-        rsq_ref, rcq_ref, rsk_ref, rck_ref = refs[:4]
-        refs = refs[4:]
+                precision, with_lse):
     if with_lse:
         o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
     else:
@@ -115,9 +96,6 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
     q = q_ref[0]                          # [bq, D]
     k = k_ref[0]                          # [bk, D]
     v = v_ref[0]
-    if fuse_rope:
-        q = _rot_block(q, rsq_ref[...], rcq_ref[...]).astype(q.dtype)
-        k = _rot_block(k, rsk_ref[...], rck_ref[...]).astype(k.dtype)
     k_len = klen_ref[pl.program_id(0)]
 
     # scores scaled into the log2 domain: exp2 is cheaper than exp
@@ -125,6 +103,8 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision) * (scale * LOG2E)
+    # masking is free here — the kernel is pipeline-bound (a statically
+    # maskless variant measured within noise at 32k tokens on v5e)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
                        lk_total, lq_total, causal, window)
     s = jnp.where(mask, s, NEG_INF)
@@ -132,8 +112,12 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
     m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     alpha = _exp(m_prev - m_cur)
+    # no p-side select: masked entries are NEG_INF - m_cur → exp
+    # underflows to exactly 0 whenever the row has ANY valid key;
+    # all-masked rows self-correct on the first real block via
+    # alpha = exp(NEG_INF - m_real) = 0, and rows that never see a
+    # valid key are zeroed in _finalize (m stays NEG_INF)
     p = _exp(s - m_cur[:, None])
-    p = jnp.where(mask, p, 0.0)
 
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
     acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
@@ -146,23 +130,23 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
         l = l_ref[:, 0]
+        # rows with NO valid key keep m == NEG_INF (any valid key makes it
+        # finite): zero them exactly — the per-block p-select they used to
+        # rely on was hoisted out of the hot loop
+        valid = m_ref[:, 0] > NEG_INF * 0.5
         denom = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / denom[:, None]).astype(o_ref.dtype)
+        o = acc_ref[:] / denom[:, None]
+        o_ref[0] = jnp.where(valid[:, None], o, 0.0).astype(o_ref.dtype)
         if lse_ref is not None:
             # store the NATURAL-log lse for the backward kernels
-            lse = jnp.where(l == 0.0, NEG_INF,
-                            (m_ref[:, 0] + _log(denom)) * LN2)
+            lse = jnp.where(valid, (m_ref[:, 0] + _log(denom)) * LN2,
+                            NEG_INF)
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
-                  interpret, precision, with_lse, head_dim, rope=None):
-    """q/k/v: [B, L, N*D]; returns ([B, Lq, N*D], lse [B, N, Lq] | None).
-
-    rope, if given, is (s2, c2) full-width [L, D] coefficient tables
-    (rope.rope_tables_full); the kernel rotates each q/k block in-register,
-    eliminating the separate HBM rope pass (requires Lq == Lk).
-    """
+                  interpret, precision, with_lse, head_dim):
+    """q/k/v: [B, L, N*D]; returns ([B, Lq, N*D], lse [B, N, Lq] | None)."""
     b, lq, nd = q.shape
     lk = k.shape[1]
     d = head_dim
@@ -177,8 +161,7 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, window=window,
         lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-        num_k_blocks=nk, precision=precision, with_lse=with_lse,
-        fuse_rope=rope is not None)
+        num_k_blocks=nk, precision=precision, with_lse=with_lse)
 
     in_specs = [
         pl.BlockSpec((b,), lambda b_, n_, iq, ik: (0,),
@@ -187,20 +170,6 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
         pl.BlockSpec((1, block_k, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
         pl.BlockSpec((1, block_k, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
     ]
-    rope_inputs = ()
-    if rope is not None:
-        assert lq == lk, "fused rope requires self-attention (Lq == Lk)"
-        s2, c2 = rope
-        # identity rotation on padded rows (cos=1, sin=0)
-        s2p = jnp.pad(s2, ((0, lq_p - lq), (0, 0)))
-        c2p = jnp.pad(c2, ((0, lq_p - lq), (0, 0)), constant_values=1.0)
-        in_specs += [
-            pl.BlockSpec((block_q, d), lambda b_, n_, iq, ik: (iq, 0)),
-            pl.BlockSpec((block_q, d), lambda b_, n_, iq, ik: (iq, 0)),
-            pl.BlockSpec((block_k, d), lambda b_, n_, iq, ik: (ik, 0)),
-            pl.BlockSpec((block_k, d), lambda b_, n_, iq, ik: (ik, 0)),
-        ]
-        rope_inputs = (s2p, c2p, s2p, c2p)
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda b_, n_, iq, ik: (b_, iq, n_)),
     ]
@@ -233,7 +202,7 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
             transcendentals=b * n * lq_p * lk_p,
         ),
         interpret=interpret,
-    )(k_lens, qp, kp, vp, *rope_inputs)
+    )(k_lens, qp, kp, vp)
 
     if with_lse:
         out, lse = res
@@ -476,60 +445,6 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
-# --- rope-fused variant: forward rotates q/k blocks in-register; backward
-# reuses the standard bwd kernels on XLA-rotated operands, then pulls the
-# q/k cotangents back through the (orthogonal) rotation.
-
-
-def _rope_full_xla(x, s2, c2, inverse=False):
-    """apply_rope on the flat [B, L, N*D] layout via full-width tables —
-    the XLA-side mirror of the in-kernel `_rot_block` (backward only)."""
-    b, l, nd = x.shape
-    d = s2.shape[1]
-    xf = x.astype(jnp.float32).reshape(b, l, nd // d, d)
-    xs = xf.reshape(b, l, nd // d, d // 2, 2)[..., ::-1].reshape(
-        b, l, nd // d, d)
-    sgn = -1.0 if inverse else 1.0
-    out = xf * c2[None, :, None, :] + xs * (sgn * s2[None, :, None, :])
-    return out.reshape(b, l, nd).astype(x.dtype)
-
-
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
-def _flash_rope(q, k, v, k_lens, s2, c2, scale, causal, window, block_q,
-                block_k, interpret, precision, head_dim):
-    out, _ = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
-                           block_q, block_k, interpret, precision,
-                           with_lse=False, head_dim=head_dim,
-                           rope=(s2, c2))
-    return out
-
-
-def _flash_rope_fwd_rule(q, k, v, k_lens, s2, c2, scale, causal, window,
-                         block_q, block_k, interpret, precision, head_dim):
-    out, lse = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
-                             block_q, block_k, interpret, precision,
-                             with_lse=True, head_dim=head_dim,
-                             rope=(s2, c2))
-    return out, (q, k, v, k_lens, s2, c2, out, lse)
-
-
-def _flash_rope_bwd_rule(scale, causal, window, block_q, block_k,
-                         interpret, precision, head_dim, res, g):
-    q, k, v, k_lens, s2, c2, out, lse = res
-    qr = _rope_full_xla(q, s2, c2)
-    kr = _rope_full_xla(k, s2, c2)
-    dq_r, dk_r, dv = _flash_bwd((qr, kr, v, k_lens, out, lse), g, scale,
-                                causal, window, block_q, block_k,
-                                interpret, precision, head_dim)
-    dq = _rope_full_xla(dq_r, s2, c2, inverse=True)
-    dk = _rope_full_xla(dk_r, s2, c2, inverse=True)
-    return dq, dk, dv, None, None, None
-
-
-_flash_rope.defvjp(_flash_rope_fwd_rule, _flash_rope_bwd_rule)
-
-
 # ---------------------------------------------------------------------------
 # public entry (accepts the [B, L, N, D] layout of ops.attention)
 
@@ -549,18 +464,12 @@ def pallas_flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
-    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Flash attention on [B, L, N, D] inputs (reference layout).
 
     q_lens is accepted for parity; like the reference's varlen path, rows
     past q_lens[b] produce values the caller never reads, so no q-masking
     is required for correctness.
-
-    rope: optional (sin, cos) half tables [L, D//2] (rope.rope_angles_3d);
-    when given, the adjacent-pair rotation is fused into the kernel's q/k
-    block loads instead of a separate HBM elementwise pass (self-attention
-    only: Lq must equal Lk).
     """
     del q_lens
     b, lq, n, d = q.shape
@@ -569,18 +478,10 @@ def pallas_flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    if rope is not None and lq != lk:
-        raise ValueError(
-            f"rope= fusion is for self-attention only (Lq == Lk); got "
-            f"Lq={lq}, Lk={lk} — apply ops.rope.apply_rope to q/k instead")
     if not interpret and d % 128 != 0:
         # compiled TPU path needs lane-aligned head_dim (every Wan model
         # has D=128); small test configs fall back to the dense path
         from omnihuman_tpu.ops.attention import attention_xla
-        if rope is not None:
-            from omnihuman_tpu.ops.rope import apply_rope
-            q = apply_rope(q, *rope)
-            k = apply_rope(k, *rope)
         return attention_xla(
             q, k, v, k_lens=k_lens, softmax_scale=softmax_scale,
             q_scale=q_scale, causal=causal, window_size=window_size,
@@ -602,14 +503,7 @@ def pallas_flash_attention(
     else:
         k_lens = jnp.minimum(k_lens.astype(jnp.int32), lk)
 
-    if rope is not None:
-        from omnihuman_tpu.ops.rope import rope_tables_full
-        s2, c2 = rope_tables_full(*rope)
-        out = _flash_rope(qf, kf, vf, k_lens, s2, c2, scale, causal,
-                          tuple(window_size), int(block_q), int(block_k),
-                          bool(interpret), precision, d)
-    else:
-        out = _flash(qf, kf, vf, k_lens, scale, causal, tuple(window_size),
-                     int(block_q), int(block_k), bool(interpret),
-                     precision, d)
+    out = _flash(qf, kf, vf, k_lens, scale, causal, tuple(window_size),
+                 int(block_q), int(block_k), bool(interpret),
+                 precision, d)
     return out.reshape(b, lq, n, d).astype(out_dtype)

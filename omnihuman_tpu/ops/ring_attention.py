@@ -255,6 +255,49 @@ def ring_attention(
     )(q, k, v, seq_lens)
 
 
+def sp_cross_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    mesh: Mesh,
+    k_lens: Optional[jnp.ndarray] = None,
+    axis: str = "sp",
+    softmax_scale: Optional[float] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Cross-attention with query tokens sharded on `axis` and the short
+    K/V context REPLICATED — embarrassingly parallel: each shard runs the
+    flash kernel over its local queries and the full context; no
+    collectives are emitted.
+
+    This is the sp>1 companion to ring/ulysses self-attention: a bare
+    Pallas call on sp-sharded queries cannot be partitioned by GSPMD
+    ("Mosaic kernels cannot be automatically partitioned"), so the DiT's
+    cross-attention must go through this shard_map wrapper whenever the
+    token axis is sharded. The reference likewise keeps cross-attention
+    local per sp rank (xdit_context_parallel.py — SURVEY §5.7).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
+
+    b, l, n, d = q.shape
+    lk = k.shape[1]
+    scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    def local(q, k, v, kl):
+        return pallas_flash_attention(
+            q, k, v, k_lens=kl, softmax_scale=scale,
+            compute_dtype=compute_dtype, interpret=interpret)
+
+    spec_q = P(None, axis, None, None)
+    spec_kv = P(None, None, None, None)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec_q, spec_kv, spec_kv, P(None)),
+                     out_specs=spec_q, check_rep=False)(q, k, v, k_lens)
+
+
 # ---------------------------------------------------------------------------
 # Ulysses (head all-to-all) sequence parallelism
 #

@@ -104,8 +104,9 @@ def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
     formulation beats this pair formulation 8x on bf16 inputs — but INSIDE
     the full DiT step XLA fuses this version into the surrounding ops and
     the roll version regressed the whole step 11% (4384→4865 ms). Keep the
-    pair form here; the flash kernel's fused-rope option (flash_pallas
-    `rope=`) uses the roll form where it is genuinely elementwise.
+    pair form here; a kernel-fused variant (roll form per
+    q/k block) measured slower end-to-end than this pre-pass and was
+    removed — it re-rotated K once per q-block.
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -121,24 +122,6 @@ def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
     rb = a * s + b * c
     out = jnp.stack([ra, rb], axis=-1).reshape(shape)
     return out.astype(dtype)
-
-
-def rope_tables_full(sin: jnp.ndarray, cos: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Expand [L, D//2] half tables to full-width [L, D] coefficient
-    tables for the lane-friendly rotation form used inside the flash
-    kernel (ops/flash_pallas.py):
-
-        rot(x) = x * c2 + swap_pairs(x) * s2
-
-    where swap_pairs exchanges lanes (2j, 2j+1), c2 repeats each cos
-    value twice and s2 carries the pair signs (-sin[j], +sin[j]) — this
-    is exactly the adjacent-pair rotation of `apply_rope`, with the
-    strided pair access replaced by a lane roll the VPU vectorises.
-    """
-    s2 = jnp.stack([-sin, sin], axis=-1).reshape(sin.shape[0], -1)
-    c2 = jnp.stack([cos, cos], axis=-1).reshape(cos.shape[0], -1)
-    return s2.astype(jnp.float32), c2.astype(jnp.float32)
 
 
 class Rope3D:

@@ -161,6 +161,61 @@ def test_attention_xla_window(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.parametrize("lq,lk,klens,causal,window,cq,ck", [
+    (64, 64, None, False, (-1, -1), 16, 16),
+    (64, 96, (96, 40), False, (-1, -1), 16, 32),
+    (100, 100, (100, 7), False, (-1, -1), 32, 32),  # padding path
+    (48, 48, None, True, (-1, -1), 16, 16),
+    (40, 56, (56, 48), False, (16, 16), 16, 16),
+])
+def test_attention_xla_chunked_matches_dense(rng, lq, lk, klens, causal,
+                                             window, cq, ck):
+    """Two-level scan flash (plain XLA) == dense attention_xla."""
+    from omnihuman_tpu.ops.attention import attention_xla_chunked
+    b, n, d = 2, 2, 16
+    q = rng.normal(size=(b, lq, n, d)).astype(np.float32)
+    k = rng.normal(size=(b, lk, n, d)).astype(np.float32)
+    v = rng.normal(size=(b, lk, n, d)).astype(np.float32)
+    kl = jnp.asarray(klens, jnp.int32) if klens else None
+    kw = dict(k_lens=kl, causal=causal, window_size=window,
+              compute_dtype=jnp.float32)
+    want = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         **kw)
+    got = attention_xla_chunked(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), chunk_q=cq, chunk_k=ck,
+                                **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_attention_xla_chunked_grad_matches_dense(rng):
+    """The flash custom VJP == autodiff of the dense path."""
+    from omnihuman_tpu.ops.attention import attention_xla_chunked
+    b, n, d, lq, lk = 2, 2, 16, 48, 80
+    q = rng.normal(size=(b, lq, n, d)).astype(np.float32)
+    k = rng.normal(size=(b, lk, n, d)).astype(np.float32)
+    v = rng.normal(size=(b, lk, n, d)).astype(np.float32)
+    kl = jnp.asarray((80, 50), jnp.int32)
+    w = rng.normal(size=(b, lq, n, d)).astype(np.float32)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o * jnp.asarray(w))
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    dense = loss(lambda q, k, v: attention_xla(
+        q, k, v, k_lens=kl, compute_dtype=jnp.float32))
+    chunk = loss(lambda q, k, v: attention_xla_chunked(
+        q, k, v, k_lens=kl, compute_dtype=jnp.float32,
+        chunk_q=16, chunk_k=32))
+    for g_d, g_c, name in zip(dense, chunk, "qkv"):
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
+
+
 @pytest.mark.parametrize("lq,lk,klens", [
     (64, 64, None),
     (64, 96, (96, 40)),
@@ -216,38 +271,6 @@ def test_pallas_flash_grad_matches_xla(rng):
     gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=5e-3, rtol=5e-3)
-
-
-def test_pallas_flash_fused_rope(rng):
-    """rope= fuses the adjacent-pair rotation into the kernel's q/k block
-    loads; fwd and all grads must match rope-then-attention."""
-    from omnihuman_tpu.ops.rope import apply_rope, rope_angles_3d
-    b, n, d, l = 2, 2, 8, 48
-    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
-    sin, cos = rope_angles_3d((3, 4, 4), d, seq_len=l)
-    kl = jnp.asarray(np.array([l, l - 7], np.int32))
-    kw = dict(k_lens=kl, compute_dtype=jnp.float32, block_q=16, block_k=16,
-              interpret=True, precision=jax.lax.Precision.HIGHEST)
-
-    def loss_fused(q, k, v):
-        o = pallas_flash_attention(q, k, v, rope=(sin, cos), **kw)
-        return jnp.sum(jnp.square(o)), o
-
-    def loss_ref(q, k, v):
-        o = attention_xla(apply_rope(q, sin, cos), apply_rope(k, sin, cos),
-                          v, k_lens=kl, compute_dtype=jnp.float32)
-        return jnp.sum(jnp.square(o)), o
-
-    (_, of), gf = jax.value_and_grad(loss_fused, (0, 1, 2),
-                                      has_aux=True)(q, k, v)
-    (_, orf), gr = jax.value_and_grad(loss_ref, (0, 1, 2),
-                                       has_aux=True)(q, k, v)
-    np.testing.assert_allclose(np.asarray(of), np.asarray(orf), atol=2e-3)
-    for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-3, rtol=5e-3)
 
