@@ -119,7 +119,9 @@ def apt_d_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
                *, cfg: WanModelConfig, apt_cfg: SeaweedAPTConfig,
                video: bool, seq_len: int, rope_sin, rope_cos,
                d_optimizer: optax.GradientTransformation,
-               policy: DTypePolicy = DTypePolicy()
+               policy: DTypePolicy = DTypePolicy(),
+               attn_impl: str = "auto",
+               token_sharding=None
                ) -> Tuple[APTState, Dict]:
     """Discriminator update (apt_trainer.py:113-137,256-280).
 
@@ -136,13 +138,15 @@ def apt_d_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
     fake = jax.lax.stop_gradient(apt_generator_forward(
         state.g_params, batch["noise"], batch["context"], cfg=cfg,
         seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
-        final_timestep=apt_cfg.num_train_timesteps, policy=policy))
+        final_timestep=apt_cfg.num_train_timesteps, policy=policy,
+        attn_impl=attn_impl, token_sharding=token_sharding))
 
     def loss_fn(d_params):
         disc = lambda x: apt_discriminator_forward(
             d_params, x, t_shifted, batch["context"], cfg=cfg,
             seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
-            policy=policy)
+            policy=policy, attn_impl=attn_impl,
+            token_sharding=token_sharding)
         real_logits = disc(batch["real"])
         fake_logits = disc(fake)
         d_loss = _softplus_gan_losses(real_logits, fake_logits)
@@ -164,9 +168,15 @@ def apt_g_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
                *, cfg: WanModelConfig, apt_cfg: SeaweedAPTConfig,
                video: bool, seq_len: int, rope_sin, rope_cos,
                g_optimizer: optax.GradientTransformation,
-               policy: DTypePolicy = DTypePolicy()
+               policy: DTypePolicy = DTypePolicy(),
+               attn_impl: str = "auto",
+               remat=True,
+               token_sharding=None
                ) -> Tuple[APTState, Dict]:
-    """Generator update (apt_trainer.py:139-157,282-294)."""
+    """Generator update (apt_trainer.py:139-157,282-294).
+
+    remat: True = per-block; int g = two-level grouped remat (stores
+    num_layers/g carries — see models/wan_dit.py), the 14B setting."""
     s = apt_cfg.shift_video if video else apt_cfg.shift_image
     b = batch["noise"].shape[0]
     t_norm = jax.random.uniform(key, (b,))
@@ -177,14 +187,16 @@ def apt_g_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
             g_params, batch["noise"], batch["context"], cfg=cfg,
             seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
             final_timestep=apt_cfg.num_train_timesteps, policy=policy,
-            remat=True)
+            remat=remat, attn_impl=attn_impl,
+            token_sharding=token_sharding)
         # stop_features=False: the generator's adversarial gradient flows
         # through the (frozen-weight) D backbone — the reference's no_grad
         # here (model.py:162-163) zeroes it, so its G never trains.
         fake_logits = apt_discriminator_forward(
             state.d_params, fake, t_shifted, batch["context"], cfg=cfg,
             seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
-            policy=policy, stop_features=False, remat=True)
+            policy=policy, stop_features=False, remat=remat,
+            attn_impl=attn_impl, token_sharding=token_sharding)
         return jnp.mean(jax.nn.softplus(-fake_logits))
 
     g_loss, grads = jax.value_and_grad(loss_fn)(state.g_params)

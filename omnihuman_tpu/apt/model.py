@@ -54,14 +54,17 @@ def apt_generator_forward(params, z, context, *, cfg: WanModelConfig,
                           final_timestep: float = 1000.0,
                           policy: DTypePolicy = DTypePolicy(),
                           remat: bool = False,
-                          context_lens=None) -> jnp.ndarray:
+                          context_lens=None,
+                          attn_impl: str = "auto",
+                          token_sharding=None) -> jnp.ndarray:
     """One-step generation: x = z - v(z, T_final) (model.py:199-221)."""
     b = z.shape[0]
     t = jnp.full((b,), final_timestep, jnp.float32)
     v = wan_dit.wan_model_forward(
         params, z, t, context, cfg=cfg, seq_len=seq_len, rope_sin=rope_sin,
         rope_cos=rope_cos, policy=policy, remat=remat,
-        context_lens=context_lens)
+        context_lens=context_lens, attn_impl=attn_impl,
+        token_sharding=token_sharding)
     return z - v
 
 
@@ -134,7 +137,9 @@ def apt_discriminator_forward(params, x, t, context, *,
                               context_lens=None,
                               return_features: bool = False,
                               stop_features: bool = True,
-                              remat: bool = False):
+                              remat: bool = False,
+                              attn_impl: str = "auto",
+                              token_sharding=None):
     """Scalar real/fake logit [B, 1] (model.py:123-186).
 
     The timestep shift (s=1 image / s=12 video) is applied by the caller
@@ -153,7 +158,8 @@ def apt_discriminator_forward(params, x, t, context, *,
     _, feats = wan_dit.wan_model_forward(
         params["backbone"], x, t, context, cfg=cfg, seq_len=seq_len,
         rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=remat,
-        context_lens=context_lens, collect_layers=taps)
+        context_lens=context_lens, collect_layers=taps,
+        attn_impl=attn_impl, token_sharding=token_sharding)
     if stop_features:
         feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
 

@@ -203,7 +203,11 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
     n, d = cfg.num_heads, cfg.head_dim
     cd = policy.compute
     if attn_impl in ("ring", "ulysses"):
-        attn_impl = "auto"
+        # q tokens stay sp-sharded; kv is short and replicated. A bare
+        # Pallas call on sharded q cannot be GSPMD-partitioned, so this
+        # must route through the shard_map sp_cross wrapper (it falls
+        # back to pallas/xla itself when no sp mesh is active).
+        attn_impl = "sp_cross"
 
     xc = x.astype(cd)
     ctx = context.astype(cd)
@@ -409,8 +413,37 @@ def wan_model_forward(
         inner_fn = jax.checkpoint(
             block_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
+    # two-level (sqrt-L) rematerialisation: remat=<int g> groups the layer
+    # scan into num_layers/g segments and checkpoints each SEGMENT, so the
+    # backward stores only num_layers/g residual-stream carries instead of
+    # one per layer (at 14B/75k tokens the flat scan's 40 fp32 carries are
+    # ~29 GB/device — the dominant training-memory term; g=8 cuts it 8x
+    # for one extra forward recompute). SURVEY §7.3(5) remat policy.
+    grouped_remat = (isinstance(remat, int) and not isinstance(remat, bool)
+                     and remat > 1 and not collect_layers)
+
     taps: Dict[int, jnp.ndarray] = {}
-    if collect_layers:
+    if grouped_remat:
+        g = remat
+        assert cfg.num_layers % g == 0, (
+            f"remat group {g} must divide num_layers {cfg.num_layers}")
+        grouped = jax.tree.map(
+            lambda x: x.reshape((cfg.num_layers // g, g) + x.shape[1:]),
+            params["blocks"])
+        inner_block = jax.checkpoint(
+            block_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
+        def run_group(carry, gp):
+            def body(c, bp):
+                return inner_block(bp, c, e0), None
+            out, _ = jax.lax.scan(body, carry, gp)
+            return out
+
+        def group_body(carry, gp):
+            return jax.checkpoint(run_group)(carry, gp), None
+
+        x_out, _ = jax.lax.scan(group_body, tokens, grouped)
+    elif collect_layers:
         # Scan with tapped activations scattered into a fixed [T, B, S, dim]
         # carry buffer — O(1) compile time in depth and remat-compatible,
         # unlike an unrolled Python loop (the reference reads taps via

@@ -110,6 +110,34 @@ def test_tap_scan_remat_and_subset():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_grouped_remat_matches_flat_scan():
+    """remat=<int g> (two-level sqrt-L checkpointing, the 14B training
+    policy) must be numerically identical to the flat per-block scan,
+    in both the forward and the gradient."""
+    cfg4 = dataclasses.replace(TINY, num_layers=4)
+    params = init_wan_model(jax.random.key(5), cfg4)
+    params["head"]["w"] = jax.random.normal(
+        jax.random.key(6), params["head"]["w"].shape) * 0.02
+    x, t, ctx, sin, cos = _inputs(cfg4)
+    kw = dict(cfg=cfg4, seq_len=SEQ, rope_sin=sin, rope_cos=cos, policy=FP32)
+
+    def loss(params, remat):
+        v = wan_model_forward(params, x, t, ctx, remat=remat, **kw)
+        return jnp.sum(v * v)
+
+    for g in (2, 4):
+        v_flat = wan_model_forward(params, x, t, ctx, remat=True, **kw)
+        v_grp = wan_model_forward(params, x, t, ctx, remat=g, **kw)
+        np.testing.assert_allclose(np.asarray(v_grp), np.asarray(v_flat),
+                                   atol=1e-5, rtol=1e-5)
+        g_flat = jax.grad(loss)(params, True)
+        g_grp = jax.grad(loss)(params, g)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4),
+            g_flat, g_grp)
+
+
 def test_jit_and_remat():
     params = init_wan_model(jax.random.key(2), TINY)
     x, t, ctx, sin, cos = _inputs(TINY)
