@@ -22,6 +22,19 @@ jax.config.update("jax_enable_x64", False)
 # passes even on CPU) — parity tests compare against numpy.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite re-jits many near-identical tiny
+# programs; identical HLO is reloaded from disk across test modules and
+# across runs (the single-CPU box spends most of the 50-min wall on XLA
+# compiles — VERDICT r1 weak #7).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
