@@ -41,7 +41,9 @@ def main():
     cfg = WAN_CONFIGS["t2v-1.3B"]
     frames, h, w = 21, 60, 104          # 81 pixel frames @ 480x832
     grid = (21, 30, 52)
-    seq_len = grid[0] * grid[1] * grid[2]   # 32760
+    # 32760 tokens padded to the kernel's 1024-block like the pipeline
+    # (WanT2V.seq_len_for) — skips the kernel-internal pad copies
+    seq_len = -(-(grid[0] * grid[1] * grid[2]) // 1024) * 1024  # 32768
 
     init = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_wan_model(k, cfg.model)))

@@ -97,30 +97,32 @@ def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
 
     x: [..., L, N, D] (sequence, heads, head_dim); sin/cos: [L, D//2].
     Rotation in fp32, result cast back to x.dtype. inverse applies the
-    transpose rotation (rotate by -angle) — used to pull gradients back
-    through a kernel-fused forward rotation.
+    transpose rotation (rotate by -angle).
 
-    Perf note (measured on v5e, 32760 tokens): standalone, a lane-roll
-    formulation beats this pair formulation 8x on bf16 inputs — but INSIDE
-    the full DiT step XLA fuses this version into the surrounding ops and
-    the roll version regressed the whole step 11% (4384→4865 ms). Keep the
-    pair form here; a kernel-fused variant (roll form per
-    q/k block) measured slower end-to-end than this pre-pass and was
-    removed — it re-rotated K once per q-block.
+    The pair swap is a matmul with a constant [D, D] permutation matrix
+    rather than a reshape to [..., D//2, 2]: the trailing-2 view forces
+    pathological T(2,128) tilings and ~250 ms/step of relayout copies in
+    the 1.3B CFG step (profiled on v5e); the tiny MXU permutation
+    (HIGHEST precision — exact, each output is one product by 1.0) keeps
+    everything in the native lane layout and took the step from 4080 to
+    3956 ms. Semantics are identical adjacent-pair (GPT-J / reference
+    complex-mult, model.py:31-69) rotation.
     """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    shape = xf.shape
-    xf = xf.reshape(*shape[:-1], shape[-1] // 2, 2)
-    a, b = xf[..., 0], xf[..., 1]
-    # broadcast tables over leading batch dims and the heads axis
-    s = sin[..., :, None, :]
-    c = cos[..., :, None, :]
-    if inverse:
-        s = -s
-    ra = a * c - b * s
-    rb = a * s + b * c
-    out = jnp.stack([ra, rb], axis=-1).reshape(shape)
+    d = x.shape[-1]
+    # full-width tables: c2 repeats each cos per pair, s2 = (-sin, +sin)
+    sgn = -1.0 if inverse else 1.0
+    c2 = jnp.repeat(cos, 2, axis=-1)                        # [L, D]
+    s2 = jnp.stack([-sin * sgn, sin * sgn],
+                   axis=-1).reshape(*sin.shape[:-1], d)     # [L, D]
+    idx = np.arange(d)
+    perm = np.zeros((d, d), np.float32)
+    perm[idx, idx ^ 1] = 1.0                                # (2j <-> 2j+1)
+    xs = jax.lax.dot_general(
+        x, jnp.asarray(perm, x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    out = (x.astype(jnp.float32) * c2[..., :, None, :]
+           + xs.astype(jnp.float32) * s2[..., :, None, :])
     return out.astype(dtype)
 
 
