@@ -64,21 +64,9 @@ def main(argv=None):
     # ---- weights ------------------------------------------------------------
     base_params = None
     if args.ckpt_dir:
-        import os
-
-        from omnihuman_tpu.utils import convert
-        dit_sd = {}
-        for fn in sorted(os.listdir(args.ckpt_dir)):
-            if fn.endswith(".safetensors"):
-                dit_sd.update(convert.load_torch_state_dict(
-                    os.path.join(args.ckpt_dir, fn)))
-        if dit_sd:
-            base_params = convert.convert_wan_dit(dit_sd, base)
-        vae_path = os.path.join(args.ckpt_dir, "Wan2.1_VAE.pth")
-        vae_params = (convert.convert_vae(
-            convert.load_torch_state_dict(vae_path), vcfg)
-            if os.path.exists(vae_path)
-            else init_vae(jax.random.key(1), vcfg))
+        from omnihuman_tpu.utils.convert import load_wan_checkpoint_dir
+        base_params, vae_params = load_wan_checkpoint_dir(
+            args.ckpt_dir, base, vcfg)
     else:
         vae_params = init_vae(jax.random.key(1), vcfg)
     params = init_omni_model(jax.random.key(0), ocfg,

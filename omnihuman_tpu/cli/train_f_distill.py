@@ -123,8 +123,14 @@ def main(argv=None):
     step = start_step
     steps_per_epoch = max(1, data["noise"].shape[0] // args.batch_size)
     start_epoch = start_step // steps_per_epoch
+    # mid-epoch resume: skip the batches the checkpointed epoch already
+    # consumed, so the total step count matches an uninterrupted run and
+    # no sample is trained twice within the epoch
+    skip_in_epoch = start_step - start_epoch * steps_per_epoch
     for epoch in range(start_epoch, args.num_epochs):
-        for batch in dl():
+        for i, batch in enumerate(dl()):
+            if epoch == start_epoch and i < skip_in_epoch:
+                continue
             batch = {"noise": batch["noise"], "context": batch["context"],
                      "context_null": neg_ctx[:batch["noise"].shape[0]]}
             state, m = step_fn(state, pipe.params, batch)

@@ -81,20 +81,11 @@ def main(argv=None):
     # ---- weights: converted checkpoint or random init ----------------------
     base_params = None
     if args.ckpt_dir:
-        from omnihuman_tpu.utils import convert
-        dit_sd = {}
-        for fn in sorted(os.listdir(args.ckpt_dir)):
-            if fn.endswith(".safetensors"):
-                dit_sd.update(convert.load_torch_state_dict(
-                    os.path.join(args.ckpt_dir, fn)))
-        if dit_sd:
-            base_params = convert.convert_wan_dit(dit_sd, base)
+        from omnihuman_tpu.utils.convert import load_wan_checkpoint_dir
+        base_params, vae_params = load_wan_checkpoint_dir(
+            args.ckpt_dir, base, vae_cfg)
+        if base_params is not None:
             logger.info("omni backbone <- converted Wan DiT")
-        vae_path = os.path.join(args.ckpt_dir, "Wan2.1_VAE.pth")
-        vae_params = (convert.convert_vae(
-            convert.load_torch_state_dict(vae_path), vae_cfg)
-            if os.path.exists(vae_path)
-            else init_vae(jax.random.key(1), vae_cfg))
     else:
         vae_params = init_vae(jax.random.key(1), vae_cfg)
     params = init_omni_model(jax.random.key(0), ocfg,

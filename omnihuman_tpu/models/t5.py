@@ -230,8 +230,14 @@ class T5TextEncoder:
             ids, mask = self.tokenizer(missing, return_mask=True)
             ctx = np.asarray(self._encode(self.params, jnp.asarray(ids),
                                           jnp.asarray(mask)), np.float32)
-            if len(self._cache) + len(missing) > self._cache_size:
-                self._cache.clear()
             for p, c in zip(missing, ctx):
                 self._cache[p] = c
+            # evict oldest entries NOT needed by this batch (wholesale
+            # clear() would drop same-batch prompts and KeyError below)
+            if len(self._cache) > self._cache_size:
+                keep = set(prompts)
+                for p in [p for p in self._cache if p not in keep]:
+                    del self._cache[p]
+                    if len(self._cache) <= self._cache_size:
+                        break
         return jnp.asarray(np.stack([self._cache[p] for p in prompts]))

@@ -408,11 +408,6 @@ def wan_model_forward(
         rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
         cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
 
-    inner_fn = block_fn
-    if remat:
-        inner_fn = jax.checkpoint(
-            block_fn, policy=jax.checkpoint_policies.nothing_saveable)
-
     # two-level (sqrt-L) rematerialisation: remat=<int g> groups the layer
     # scan into num_layers/g segments and checkpoints each SEGMENT, so the
     # backward stores only num_layers/g residual-stream carries instead of
@@ -422,6 +417,11 @@ def wan_model_forward(
     grouped_remat = (isinstance(remat, int) and not isinstance(remat, bool)
                      and remat > 1 and not collect_layers)
 
+    inner_fn = block_fn
+    if remat:
+        inner_fn = jax.checkpoint(
+            block_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
     taps: Dict[int, jnp.ndarray] = {}
     if grouped_remat:
         g = remat
@@ -430,12 +430,10 @@ def wan_model_forward(
         grouped = jax.tree.map(
             lambda x: x.reshape((cfg.num_layers // g, g) + x.shape[1:]),
             params["blocks"])
-        inner_block = jax.checkpoint(
-            block_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
         def run_group(carry, gp):
             def body(c, bp):
-                return inner_block(bp, c, e0), None
+                return inner_fn(bp, c, e0), None
             out, _ = jax.lax.scan(body, carry, gp)
             return out
 

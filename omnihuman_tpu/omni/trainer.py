@@ -265,10 +265,27 @@ class OmniHumanTrainer:
         if restored is None:
             return 0, 0
         self.state = restored
+        gstep = int(self.state.step)
         meta = self.ckpt.restore_metadata(step) or {}
-        stage = int(meta.get("stage", 0))
-        if meta.get("final"):
-            stage += 1  # stage completed → resume at the next one
-            if stage >= len(self.stages):
+        if "stage" in meta:
+            stage = int(meta["stage"])
+            if meta.get("final"):
+                stage += 1  # stage completed → resume at the next one
+                if stage >= len(self.stages):
+                    stage = len(self.stages) - 1
+        else:
+            # legacy/metadata-less checkpoint: derive the stage from the
+            # global step against the stage schedule instead of silently
+            # resuming into stage 0's condition ratios
+            stage, acc = 0, 0
+            for i, s in enumerate(self.stages):
+                if gstep < acc + s.num_steps:
+                    stage = i
+                    break
+                acc += s.num_steps
+            else:
                 stage = len(self.stages) - 1
-        return int(self.state.step), stage
+            logger.warning(
+                f"checkpoint has no stage metadata; derived stage "
+                f"{stage} from global step {gstep}")
+        return gstep, stage

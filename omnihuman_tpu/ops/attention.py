@@ -351,10 +351,22 @@ def flash_attention(
             from omnihuman_tpu.ops.ring_attention import sp_cross_attention
             return sp_cross_attention(q, k, v, mesh, k_lens=k_lens,
                                       softmax_scale=softmax_scale,
+                                      q_scale=q_scale, causal=causal,
+                                      window_size=window_size,
                                       compute_dtype=dtype)
         else:
+            # the sequence-parallel self-attention paths implement full
+            # bidirectional varlen attention only — fail loudly rather
+            # than silently dropping a mask the caller asked for
+            if causal or tuple(window_size) != (-1, -1):
+                raise NotImplementedError(
+                    f"{implementation} attention does not support causal/"
+                    f"window masks (got causal={causal}, "
+                    f"window_size={tuple(window_size)})")
             from omnihuman_tpu.ops.ring_attention import (
                 ring_attention, ulysses_attention)
+            if q_scale is not None:
+                q = q * jnp.asarray(q_scale, q.dtype)
             fn = (ring_attention if implementation == "ring"
                   else ulysses_attention)
             return fn(q, k, v, mesh, seq_lens=k_lens,

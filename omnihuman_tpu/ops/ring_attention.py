@@ -19,7 +19,7 @@ automatically.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -261,6 +261,9 @@ def sp_cross_attention(
     k_lens: Optional[jnp.ndarray] = None,
     axis: str = "sp",
     softmax_scale: Optional[float] = None,
+    q_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Cross-attention with query tokens sharded on `axis` and the short
@@ -279,6 +282,13 @@ def sp_cross_attention(
 
     from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
 
+    if causal or tuple(window_size) != (-1, -1):
+        # per-shard masks would use LOCAL q indices — global-offset
+        # causal/window masking is not implemented for this path
+        raise NotImplementedError(
+            "sp_cross_attention supports full bidirectional attention "
+            f"only (got causal={causal}, window_size={tuple(window_size)})")
+
     b, l, n, d = q.shape
     lk = k.shape[1]
     scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
@@ -288,7 +298,7 @@ def sp_cross_attention(
 
     def local(q, k, v, kl):
         return pallas_flash_attention(
-            q, k, v, k_lens=kl, softmax_scale=scale,
+            q, k, v, k_lens=kl, softmax_scale=scale, q_scale=q_scale,
             compute_dtype=compute_dtype, interpret=interpret)
 
     spec_q = P(None, axis, None, None)

@@ -56,8 +56,16 @@ def topology_mesh(mesh_shape: Dict[str, int],
     from jax.experimental import topologies
 
     n = int(np.prod(list(mesh_shape.values())))
-    topo = topologies.get_topology_desc(
-        topology or V5E_TOPOLOGIES[max(n, 4)], "tpu")
+    if topology is None:
+        # smallest describable topology that covers n; slice its devices
+        fits = [k for k in sorted(V5E_TOPOLOGIES) if k >= n]
+        if not fits:
+            raise ValueError(
+                f"mesh needs {n} devices — beyond the largest known "
+                f"chipless v5e topology ({max(V5E_TOPOLOGIES)}); pass "
+                f"topology= explicitly")
+        topology = V5E_TOPOLOGIES[fits[0]]
+    topo = topologies.get_topology_desc(topology, "tpu")
     return create_mesh(MeshConfig(**mesh_shape),
                        devices=list(topo.devices)[:n])
 

@@ -380,3 +380,36 @@ def convert_clip(sd: StateDict, cfg) -> Dict[str, Any]:
     if "log_scale" in sd:
         out["log_scale"] = jnp.asarray(sd["log_scale"])
     return out
+
+
+def load_wan_checkpoint_dir(ckpt_dir: str, model_cfg: WanModelConfig,
+                            vae_cfg: "VAEConfig" = None, vae_seed: int = 1):
+    """Load a Wan checkpoint directory using the reference layout
+    (text2video.py:118-135 convention, shared by the generate / omni
+    train / omni inference CLIs):
+
+      *.safetensors shards   → convert_wan_dit  (None if absent)
+      Wan2.1_VAE.pth         → convert_vae (random-init fallback when
+                               vae_cfg given and the file is missing)
+
+    Returns (dit_params | None, vae_params | None).
+    """
+    import os
+
+    dit_sd: StateDict = {}
+    for fn in sorted(os.listdir(ckpt_dir)):
+        if fn.endswith(".safetensors"):
+            dit_sd.update(load_torch_state_dict(
+                os.path.join(ckpt_dir, fn)))
+    dit_params = convert_wan_dit(dit_sd, model_cfg) if dit_sd else None
+
+    vae_params = None
+    if vae_cfg is not None:
+        vae_path = os.path.join(ckpt_dir, "Wan2.1_VAE.pth")
+        if os.path.exists(vae_path):
+            vae_params = convert_vae(load_torch_state_dict(vae_path),
+                                     vae_cfg)
+        else:
+            from omnihuman_tpu.models.vae import init_vae
+            vae_params = init_vae(jax.random.key(vae_seed), vae_cfg)
+    return dit_params, vae_params
