@@ -72,7 +72,8 @@ def init_distill_state(params: Any,
 
 def distill_loss(params, batch, *, cfg: WanModelConfig, seq_len: int,
                  rope_sin, rope_cos, policy: DTypePolicy,
-                 t_max: float = 1000.0, remat: bool = True):
+                 t_max: float = 1000.0, remat: bool = True,
+                 attn_impl: str = "auto", token_sharding=None):
     """MSE(v_student(noise, t=T), v_teacher) (distilled_trainer.py:241-316).
 
     batch: {"noise": [B,C,F,H,W], "context": [B,text_len,text_dim],
@@ -83,7 +84,8 @@ def distill_loss(params, batch, *, cfg: WanModelConfig, seq_len: int,
     v = wan_dit.wan_model_forward(
         params, batch["noise"], t, batch["context"], cfg=cfg,
         seq_len=seq_len, rope_sin=rope_sin, rope_cos=rope_cos,
-        policy=policy, remat=remat)
+        policy=policy, remat=remat, attn_impl=attn_impl,
+        token_sharding=token_sharding)
     return jnp.mean(jnp.square(v - batch["v_teacher"].astype(jnp.float32)))
 
 
@@ -93,11 +95,18 @@ def distill_train_step(state: DistillState, batch: Dict[str, jnp.ndarray],
                        policy: DTypePolicy = DTypePolicy(),
                        ema_decay: float = 0.995,
                        t_max: float = 1000.0,
-                       remat: bool = True) -> Tuple[DistillState, Dict]:
-    """One optimization step; jit with donate_argnums=(0,)."""
+                       remat: bool = True,
+                       attn_impl: str = "auto",
+                       token_sharding=None) -> Tuple[DistillState, Dict]:
+    """One optimization step; jit with donate_argnums=(0,).
+
+    attn_impl/token_sharding: pass "ring" + an sp NamedSharding when
+    running over a mesh — a bare Pallas call cannot be partitioned by
+    GSPMD (multi-chip distillation fails to compile without it)."""
     loss, grads = jax.value_and_grad(distill_loss)(
         state.params, batch, cfg=cfg, seq_len=seq_len, rope_sin=rope_sin,
-        rope_cos=rope_cos, policy=policy, t_max=t_max, remat=remat)
+        rope_cos=rope_cos, policy=policy, t_max=t_max, remat=remat,
+        attn_impl=attn_impl, token_sharding=token_sharding)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)

@@ -106,13 +106,19 @@ def f_distill_train_step(
     use_discriminator: bool = True,
     t_max: float = 1000.0,
     feature_fn: Callable = default_feature_fn,
+    attn_impl: str = "auto",
+    token_sharding=None,
 ) -> Tuple[FDistillState, Dict]:
-    """One f-distill step (f_distilled_trainer.py:175-300)."""
+    """One f-distill step (f_distilled_trainer.py:175-300).
+
+    attn_impl/token_sharding: "ring" + an sp NamedSharding when running
+    over a mesh (bare Pallas calls cannot be GSPMD-partitioned)."""
     b = batch["noise"].shape[0]
     t = jnp.full((b,), t_max, jnp.float32)
     fwd = lambda p, ctx, remat: wan_dit.wan_model_forward(
         p, batch["noise"], t, ctx, cfg=cfg, seq_len=seq_len,
-        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=remat)
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=remat,
+        attn_impl=attn_impl, token_sharding=token_sharding)
 
     # teacher CFG velocity, frozen (":186-204")
     v_cond = fwd(teacher_params, batch["context"], False)

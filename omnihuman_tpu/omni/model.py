@@ -202,6 +202,7 @@ def omni_model_forward(
     policy: DTypePolicy = DTypePolicy(),
     remat: bool = True,
     attn_impl: str = "auto",
+    token_sharding=None,
 ) -> jnp.ndarray:
     """Velocity prediction with omni-conditions injected.
 
@@ -288,17 +289,20 @@ def omni_model_forward(
     # ---- run the DiT on the packed sequence
     v = _forward_packed(bp, tokens, t, context, base_cfg, seq_len,
                         rope_sin, rope_cos, context_lens, policy, remat,
-                        attn_impl, audio_ctx, grid, n_video)
+                        attn_impl, audio_ctx, grid, n_video,
+                        token_sharding)
     return v
 
 
 def _forward_packed(bp, tokens, t, context, cfg, seq_len, rope_sin,
                     rope_cos, context_lens, policy, remat, attn_impl,
-                    audio_ctx, grid, n_video):
+                    audio_ctx, grid, n_video, token_sharding=None):
     """wan_dit forward body operating on pre-built tokens (video+ref)."""
     import functools
     b = tokens.shape[0]
     seq_lens = jnp.full((b,), seq_len, dtype=jnp.int32)
+    if token_sharding is not None:
+        tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
     e = wan_dit.sinusoidal_embedding_1d(cfg.freq_dim, t)
     e = _linear(bp["time_fc1"], e, jnp.float32)

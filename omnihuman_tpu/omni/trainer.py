@@ -101,7 +101,9 @@ def omni_flow_matching_loss(params, batch, masks, t, key, *,
                             cfg: OmniModelConfig,
                             policy: DTypePolicy = DTypePolicy(),
                             target: str = "velocity",
-                            remat: bool = True):
+                            remat: bool = True,
+                            attn_impl: str = "auto",
+                            token_sharding=None):
     """Flow-matching loss (omnihuman_wan_t2v.py:469-491).
 
     batch: frames (clean latents) [B,C,F,H,W], context, audio, pose,
@@ -116,7 +118,8 @@ def omni_flow_matching_loss(params, batch, masks, t, key, *,
         params, noisy, t * 1000.0, batch["context"], cfg=cfg,
         audio=batch.get("audio"), pose=batch.get("pose"),
         ref_latent=batch.get("reference"), cond_mask=masks,
-        policy=policy, remat=remat)
+        policy=policy, remat=remat, attn_impl=attn_impl,
+        token_sharding=token_sharding)
 
     if target == "velocity":
         tgt = noise - frames           # d x_t / dt for the interpolant
@@ -130,9 +133,14 @@ def omni_train_step(state: OmniTrainState, batch, ratios: Dict[str, float],
                     cfg: OmniModelConfig,
                     policy: DTypePolicy = DTypePolicy(),
                     target: str = "velocity",
-                    remat: bool = True) -> Tuple[OmniTrainState, Dict]:
+                    remat: bool = True,
+                    attn_impl: str = "auto",
+                    token_sharding=None) -> Tuple[OmniTrainState, Dict]:
     """One jitted step with stochastic per-batch condition activation
-    (ratios dict is static; draws are on-device)."""
+    (ratios dict is static; draws are on-device).
+
+    attn_impl/token_sharding: "ring" + an sp NamedSharding when running
+    over a mesh (bare Pallas calls cannot be GSPMD-partitioned)."""
     b = batch["frames"].shape[0]
     k_mask, k_t, k_noise = jax.random.split(key, 3)
     masks = {}
@@ -144,7 +152,8 @@ def omni_train_step(state: OmniTrainState, batch, ratios: Dict[str, float],
 
     loss, grads = jax.value_and_grad(omni_flow_matching_loss)(
         state.params, batch, masks, t, k_noise, cfg=cfg, policy=policy,
-        target=target, remat=remat)
+        target=target, remat=remat, attn_impl=attn_impl,
+        token_sharding=token_sharding)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
