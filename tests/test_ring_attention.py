@@ -164,3 +164,22 @@ def test_sp_cross_attention_matches_dense(sp_mesh, rng):
     for a, g, nm in zip(gd, gs, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(a),
                                    atol=5e-4, rtol=5e-4, err_msg=f"d{nm}")
+
+
+def test_mesh_dispatch_rejects_unsupported_masks(sp_mesh, rng):
+    """Under a mesh, ring/ulysses must fail loudly for causal/window
+    masks (silently computing unmasked attention would be wrong), and
+    sp_cross likewise."""
+    from omnihuman_tpu.ops.attention import flash_attention
+    from omnihuman_tpu.ops.ring_attention import sp_cross_attention
+    from omnihuman_tpu.parallel.mesh import use_mesh
+    b, l, n, d = 1, 16, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    with use_mesh(sp_mesh):
+        with pytest.raises(NotImplementedError):
+            flash_attention(q, q, q, causal=True, implementation="ring")
+        with pytest.raises(NotImplementedError):
+            flash_attention(q, q, q, window_size=(4, 4),
+                            implementation="ulysses")
+    with pytest.raises(NotImplementedError):
+        sp_cross_attention(q, q, q, sp_mesh, causal=True)

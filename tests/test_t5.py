@@ -82,3 +82,27 @@ def test_jit_encode():
     f = jax.jit(lambda p, i, m: t5_encode(p, i, m, TINY))
     out = f(params, ids, mask)
     assert out.shape == (1, 16, 32)
+
+
+def test_text_encoder_cache_eviction_keeps_current_batch():
+    """Cache eviction must never drop prompts referenced by the current
+    batch (a wholesale clear() used to KeyError at the final stack)."""
+    from omnihuman_tpu.models.t5 import T5TextEncoder
+
+    class _Tok:
+        def __call__(self, prompts, return_mask=True):
+            import numpy as _np
+            ids = _np.ones((len(prompts), 4), _np.int32)
+            return ids, _np.ones_like(ids)
+
+    enc = T5TextEncoder.__new__(T5TextEncoder)
+    enc.tokenizer = _Tok()
+    enc.params = None
+    enc._encode = lambda p, ids, mask: np.zeros(
+        (ids.shape[0], 4, 8), np.float32)
+    enc._cache, enc._cache_size = {}, 3
+    enc(["a", "b", "c"])                     # fill to capacity
+    out = enc(["a", "d", "e"])               # a cached, d/e new → evict b/c
+    assert out.shape == (3, 4, 8)
+    assert "a" in enc._cache and "d" in enc._cache and "e" in enc._cache
+    assert len(enc._cache) <= 3 + 1
