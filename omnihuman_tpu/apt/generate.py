@@ -124,11 +124,19 @@ def generate_batch(
 
 
 def create_dataloader(data: Dict[str, np.ndarray], batch_size: int = 1,
-                      shuffle: bool = True, seed: int = 0):
+                      shuffle: bool = True, seed: int = 0,
+                      skip_epochs: int = 0):
     """Minimal host-side batch iterator over the teacher dataset
-    (replaces generate.py:270-277's torch DataLoader)."""
+    (replaces generate.py:270-277's torch DataLoader).
+
+    skip_epochs: burn that many permutations so a resumed run's first
+    epoch replays the SAME shuffle the interrupted epoch used — required
+    for mid-epoch resume to skip exactly the already-trained samples.
+    """
     n = data["noise"].shape[0]
     rng = np.random.default_rng(seed)
+    for _ in range(skip_epochs):
+        rng.permutation(n)
 
     def epoch():
         idx = rng.permutation(n) if shuffle else np.arange(n)

@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence-parallel degree (sp mesh axis)")
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-sharding degree (fsdp mesh axis)")
+    p.add_argument("--cfg_mode", default=None,
+                   choices=("fused", "sequential"),
+                   help="classifier-free-guidance execution: fused 2B "
+                        "batch or sequential cond/uncond (default: the "
+                        "memory-validated mode per model/resolution, "
+                        "REPORTS/memory_14B.md)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the generation")
     p.add_argument("--use_prompt_extend", action="store_true",
@@ -113,7 +119,8 @@ def main(argv=None):
                 sampling_steps=args.sample_steps or cfg.sample_steps,
                 guide_scale=(args.sample_guide_scale
                              or cfg.sample_guide_scale),
-                n_prompt=args.n_prompt, seed=args.base_seed)
+                n_prompt=args.n_prompt, seed=args.base_seed,
+                cfg_mode=args.cfg_mode)
     else:
         from omnihuman_tpu.pipelines.text2video import WanT2V
         pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
@@ -125,7 +132,8 @@ def main(argv=None):
                 sampling_steps=args.sample_steps or cfg.sample_steps,
                 guide_scale=(args.sample_guide_scale
                              or cfg.sample_guide_scale),
-                n_prompt=args.n_prompt, seed=args.base_seed)
+                n_prompt=args.n_prompt, seed=args.base_seed,
+                cfg_mode=args.cfg_mode)
 
     out = args.save_file or f"{args.task.replace('-', '_')}_{args.size.replace('*','x')}.mp4"
     path = cache_video(video, out, fps=cfg.sample_fps)

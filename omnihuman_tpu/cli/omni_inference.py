@@ -74,7 +74,25 @@ def main(argv=None):
     if args.checkpoint:
         from omnihuman_tpu.utils.checkpoint import CheckpointManager
         mgr = CheckpointManager(args.checkpoint)
-        restored = mgr.restore()  # raw tree: bare params or a train state
+        try:
+            restored = mgr.restore()  # raw tree: bare params or train state
+        except ValueError:
+            # the numpy fallback (no orbax) can't restore without a target
+            # tree — retry against the templates the trainer writes (bare
+            # params or an OmniTrainState-shaped {"params": ...} dict)
+            restored = None
+            for tmpl in (params, {"params": params}):
+                try:
+                    restored = mgr.restore(target=tmpl)
+                    break
+                except Exception:
+                    continue
+            if restored is None:
+                raise RuntimeError(
+                    f"could not restore {args.checkpoint} without orbax: "
+                    "the saved tree does not match the model's params "
+                    "layout; install orbax-checkpoint for target-less "
+                    "restore")
         if restored is not None:
             if isinstance(restored, dict) and "params" in restored:
                 restored = restored["params"]  # OmniTrainState layout

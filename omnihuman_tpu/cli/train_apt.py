@@ -191,13 +191,26 @@ def main(argv=None):
 
     if args.resume:
         meta = ckpt.restore_metadata() or {}
+        if not meta and ckpt.latest_step() is not None:
+            # a checkpoint exists but its metadata is unreadable —
+            # restarting from scratch here would silently discard it
+            raise RuntimeError(
+                f"--resume: checkpoint at step {ckpt.latest_step()} in "
+                f"{args.output_dir} has no readable metadata; refusing to "
+                "silently restart from scratch")
         if meta:
             ckpt_phase = meta.get("phase", "image")
             start_update = int(meta.get("update", 0))
             if ckpt_phase == "video":
                 # match the video-phase tree before restoring into it
                 state = start_video_phase(state, d_params, apt_cfg)
-            state = ckpt.restore(target=state)
+            restored = ckpt.restore(target=state)
+            if restored is None:
+                raise RuntimeError(
+                    f"--resume: state restore from {args.output_dir} "
+                    "returned no payload (metadata present but the state "
+                    "checkpoint is missing or corrupt)")
+            state = restored
             start_phase = ckpt_phase
             if meta.get("final"):
                 if ckpt_phase == "image":

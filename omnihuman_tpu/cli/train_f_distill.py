@@ -125,8 +125,13 @@ def main(argv=None):
     start_epoch = start_step // steps_per_epoch
     # mid-epoch resume: skip the batches the checkpointed epoch already
     # consumed, so the total step count matches an uninterrupted run and
-    # no sample is trained twice within the epoch
+    # no sample is trained twice within the epoch. The dataloader RNG is
+    # fast-forwarded by start_epoch permutations so the resumed epoch
+    # replays the interrupted epoch's exact shuffle.
     skip_in_epoch = start_step - start_epoch * steps_per_epoch
+    if start_epoch:
+        dl = create_dataloader(data, batch_size=args.batch_size,
+                               seed=args.seed, skip_epochs=start_epoch)
     for epoch in range(start_epoch, args.num_epochs):
         for i, batch in enumerate(dl()):
             if epoch == start_epoch and i < skip_in_epoch:

@@ -180,6 +180,12 @@ class OmniHumanEvaluator:
                  output_dir: str = "eval_results",
                  use_inception: bool = True,
                  inception_weights: Optional[str] = None):
+        if fid_feature_fn is not None or fvd_feature_fn is not None:
+            self.feature_space = "custom"
+        elif use_inception:
+            self.feature_space = "inception_v3"  # refined below
+        else:
+            self.feature_space = "pixel_proxy"
         if use_inception and (fid_feature_fn is None
                               or fvd_feature_fn is None):
             # real InceptionV3 pool3 features (reference used torchmetrics'
@@ -188,6 +194,9 @@ class OmniHumanEvaluator:
             # init (documented content-sensitive proxy)
             from omnihuman_tpu.omni.inception import InceptionFeatures
             self.inception = InceptionFeatures(inception_weights)
+            self.feature_space = (
+                "inception_v3_pretrained" if self.inception.pretrained
+                else "inception_v3_random_init_proxy")
             if not self.inception.pretrained:
                 logger.warning(
                     "no InceptionV3 weights supplied: FID/FVD use a "
@@ -234,6 +243,10 @@ class OmniHumanEvaluator:
         hkv = [h["hkv"] for h in hand if np.isfinite(h["hkv"])]
         metrics["hkc"] = float(np.mean(hkc)) if hkc else float("nan")
         metrics["hkv"] = float(np.mean(hkv)) if hkv else float("nan")
+        # tag which feature space produced the FID/FVD numbers so reports
+        # from the random-init proxy can never be silently compared with
+        # pretrained-Inception (paper-comparable) numbers (VERDICT r2 weak #6)
+        metrics["feature_space"] = self.feature_space
         return metrics
 
     def evaluate_model(self, generate_fn: Callable, dataset,

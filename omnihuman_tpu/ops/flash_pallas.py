@@ -32,6 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024   # fwd: ~124 TFLOP/s at 32k tokens on v5e
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
+# NEG_INF must stay FINITE: the hoisted per-block p-mask in the forward
+# kernels relies on exp(s - m) with s == m == NEG_INF evaluating to
+# exp(0) == 1 (then zeroed by the mask); with -inf it would be
+# exp(nan) == nan and all-masked rows would corrupt the output.
+import math as _math
+assert _math.isfinite(NEG_INF), "NEG_INF must be finite (see comment)"
 # softmax domain: exp2 (log2 domain) is cheaper on the VPU but measurably
 # less accurate on this TPU generation; OMNIHUMAN_EXP2=1 opts in
 import os as _os

@@ -84,6 +84,7 @@ class WanI2V(WanT2V):
         context_null: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
         fused_loop: bool = False,
+        cfg_mode: Optional[str] = None,
     ):
         cfg = self.config
         if n_prompt == "":
@@ -119,6 +120,8 @@ class WanI2V(WanT2V):
             jnp.float32)
 
         seq_len = self.seq_len_for((cfg.vae.z_dim, f_lat, lat_h, lat_w))
+        if cfg_mode is None:
+            cfg_mode = self.default_cfg_mode(seq_len)
         latents = _i2v_sample(
             self.params, noise, y, clip_fea, context, context_null,
             model_cfg=cfg.model, policy=cfg.policy,
@@ -126,7 +129,9 @@ class WanI2V(WanT2V):
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,
             num_train_timesteps=cfg.num_train_timesteps,
-            fused_loop=fused_loop)
+            fused_loop=fused_loop, mesh=self.mesh,
+            attn_impl=self.attn_impl, token_sharding=self.token_sharding,
+            cfg_mode=cfg_mode)
         if return_latents:
             return latents
         video = vae_mod.vae_decode_jit(self.vae_params, latents,
@@ -136,46 +141,73 @@ class WanI2V(WanT2V):
 
 def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
                 model_cfg, policy, patch_size, seq_len, shift, solver,
-                steps, guide_scale, num_train_timesteps, fused_loop=False):
+                steps, guide_scale, num_train_timesteps, fused_loop=False,
+                mesh=None, attn_impl="auto", token_sharding=None,
+                cfg_mode="fused"):
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
             noise.shape[4] // patch_size[2])
     rope_sin, rope_cos = rope_angles_3d(grid, model_cfg.head_dim,
                                         seq_len=seq_len)
-    sol = get_solver(solver if solver == "unipc" else "dpm++", steps,
-                     float(shift), num_train_timesteps)
+    sol = get_solver(solver, steps, float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
     y2 = jnp.concatenate([y, y], axis=0)
     clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
-                   guide_scale=float(guide_scale))
+                   guide_scale=float(guide_scale), attn_impl=attn_impl,
+                   token_sharding=token_sharding, cfg_mode=cfg_mode)
+
+    import contextlib
+    from omnihuman_tpu.parallel.mesh import use_mesh
+    mesh_ctx = (lambda: use_mesh(mesh)) if mesh is not None else \
+        contextlib.nullcontext
 
     if fused_loop:
         def model_fn(x, t, i):
             return _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2,
                                        rope_sin, rope_cos, **statics)
-        return sol.sample_loop(model_fn, noise)
+        with mesh_ctx():
+            return sol.sample_loop(model_fn, noise)
 
     ts = sol.timesteps
     x = noise
     state = sol.init_state(noise)
     for i in range(steps):
-        v = _i2v_cfg_model_step(params, x, jnp.float32(ts[i]), ctx2, y2,
-                                clip2, rope_sin, rope_cos, **statics)
+        with mesh_ctx():
+            v = _i2v_cfg_model_step(params, x, jnp.float32(ts[i]), ctx2, y2,
+                                    clip2, rope_sin, rope_cos, **statics)
         x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
     return x
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model_cfg", "policy", "seq_len", "guide_scale"))
+    "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
+    "token_sharding", "cfg_mode"))
 def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
-                        *, model_cfg, policy, seq_len, guide_scale):
-    x2 = jnp.concatenate([x, x], axis=0)
-    t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-    v = wan_dit.wan_model_forward(
-        params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
-        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
-        remat=False, clip_fea=clip2, y=y2)
-    v_cond, v_uncond = jnp.split(v, 2, axis=0)
+                        *, model_cfg, policy, seq_len, guide_scale,
+                        attn_impl="auto", token_sharding=None,
+                        cfg_mode="fused"):
+    """i2v CFG step; cfg_mode='sequential' runs cond/uncond one after the
+    other in the same compiled program — the memory-validated mode for
+    i2v-14B@720p on v5e-8 (REPORTS/memory_14B.md: fused OOMs by 1 GiB)."""
+    fwd = functools.partial(
+        wan_dit.wan_model_forward, params, cfg=model_cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=False,
+        attn_impl=attn_impl, token_sharding=token_sharding)
+    if cfg_mode == "fused":
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((x2.shape[0],), t, jnp.float32)
+        v = fwd(x2, t2, ctx2, clip_fea=clip2, y=y2)
+        v_cond, v_uncond = jnp.split(v, 2, axis=0)
+    elif cfg_mode == "sequential":
+        ctx, ctx_null = jnp.split(ctx2, 2, axis=0)
+        y1, _ = jnp.split(y2, 2, axis=0)
+        clip1, _ = jnp.split(clip2, 2, axis=0)
+        t1 = jnp.full((x.shape[0],), t, jnp.float32)
+        v_cond = fwd(x, t1, ctx, clip_fea=clip1, y=y1)
+        v_uncond = fwd(x, t1, ctx_null, clip_fea=clip1, y=y1)
+    else:
+        raise ValueError(f"unknown cfg_mode {cfg_mode!r}; "
+                         "expected 'fused' or 'sequential'")
     return v_uncond + guide_scale * (v_cond - v_uncond)

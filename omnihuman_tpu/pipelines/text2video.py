@@ -62,6 +62,18 @@ class WanT2V:
         self.vae_stride = config.vae_stride
         self.patch_size = config.model.patch_size
         self.sp_size = 1 if mesh is None else mesh.shape.get("sp", 1)
+        # Mesh execution plan: any active mesh routes self-attention
+        # through the shard_map ring path (a bare Pallas call inside a
+        # mesh-jit cannot be GSPMD-partitioned, REPORTS/memory_14B.md) and
+        # annotates the token axis with the sp sharding (replaces xDiT's
+        # explicit chunk/all-gather, xdit_context_parallel.py:130-142).
+        if mesh is None:
+            self.attn_impl = "auto"
+            self.token_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.attn_impl = "ring"
+            self.token_sharding = NamedSharding(mesh, P(None, "sp", None))
 
         self._init_seed = init_seed
         self._t5_params = None
@@ -175,6 +187,14 @@ class WanT2V:
         align = int(np.lcm(self.sp_size, 1024)) if n >= 4096 else self.sp_size
         return int(math.ceil(n / align) * align)
 
+    def default_cfg_mode(self, seq_len: int) -> str:
+        """Decision table from REPORTS/memory_14B.md: fused 2B CFG OOMs
+        v5e-8 at 14B/720p (16.75 > 15.75 GiB) while sequential fits
+        (15.18 GiB); 1.3B@480p fused fits with 11 GiB headroom."""
+        if self.config.model.dim >= 3072 and seq_len >= 40_000:
+            return "sequential"
+        return "fused"
+
     def generate(
         self,
         input_prompt: str,
@@ -190,9 +210,17 @@ class WanT2V:
         context_null: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
         fused_loop: bool = False,
+        cfg_mode: Optional[str] = None,
     ):
         """Generate one clip; returns video [3, F, H, W] in [-1, 1]
-        (reference WanT2V.generate, text2video.py:112-269)."""
+        (reference WanT2V.generate, text2video.py:112-269).
+
+        cfg_mode: 'fused' batches cond+uncond in one 2B forward;
+        'sequential' runs them one after the other inside the same jitted
+        step (half the activation peak — the mode the 14B@720p v5e-8 mesh
+        was memory-validated for, REPORTS/memory_14B.md). None picks the
+        recorded decision per model size / token count.
+        """
         cfg = self.config
         if n_prompt == "":
             n_prompt = cfg.sample_neg_prompt
@@ -204,6 +232,8 @@ class WanT2V:
 
         lat_shape = self.latent_shape(size, frame_num)
         seq_len = self.seq_len_for(lat_shape)
+        if cfg_mode is None:
+            cfg_mode = self.default_cfg_mode(seq_len)
         noise = jax.random.normal(jax.random.key(seed), (1,) + lat_shape,
                                   jnp.float32)
 
@@ -214,7 +244,9 @@ class WanT2V:
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,
             num_train_timesteps=self.config.num_train_timesteps,
-            fused_loop=fused_loop)
+            fused_loop=fused_loop, mesh=self.mesh,
+            attn_impl=self.attn_impl, token_sharding=self.token_sharding,
+            cfg_mode=cfg_mode)
         if return_latents:
             return latents
         video = vae_mod.vae_decode_jit(self.vae_params, latents,
@@ -223,25 +255,44 @@ class WanT2V:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model_cfg", "policy", "seq_len", "guide_scale"))
+    "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
+    "token_sharding", "cfg_mode"))
 def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, *, model_cfg,
-                    policy, seq_len, guide_scale):
+                    policy, seq_len, guide_scale, attn_impl="auto",
+                    token_sharding=None, cfg_mode="fused"):
     """One CFG denoise model call (module-level jit → cached across
-    generate() invocations). fused CFG: cond/uncond stacked on batch
-    (vs two sequential forwards in text2video.py:238-241)."""
-    x2 = jnp.concatenate([x, x], axis=0)
-    t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-    v2 = wan_dit.wan_model_forward(
-        params, x2, t2, ctx2, cfg=model_cfg, seq_len=seq_len,
-        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy,
-        remat=False)
-    v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+    generate() invocations).
+
+    cfg_mode='fused': cond/uncond stacked on batch — max MXU utilisation
+    where memory allows (vs two sequential forwards, text2video.py:238-241).
+    cfg_mode='sequential': two forwards in the same compiled step — halves
+    the activation peak; the validated 14B@720p v5e-8 configuration
+    (REPORTS/memory_14B.md decision table).
+    """
+    fwd = functools.partial(
+        wan_dit.wan_model_forward, params, cfg=model_cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=False,
+        attn_impl=attn_impl, token_sharding=token_sharding)
+    if cfg_mode == "fused":
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((x2.shape[0],), t, jnp.float32)
+        v2 = fwd(x2, t2, ctx2)
+        v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+    elif cfg_mode == "sequential":
+        ctx, ctx_null = jnp.split(ctx2, 2, axis=0)
+        t1 = jnp.full((x.shape[0],), t, jnp.float32)
+        v_cond = fwd(x, t1, ctx)
+        v_uncond = fwd(x, t1, ctx_null)
+    else:
+        raise ValueError(f"unknown cfg_mode {cfg_mode!r}; "
+                         "expected 'fused' or 'sequential'")
     return v_uncond + guide_scale * (v_cond - v_uncond)
 
 
 def sample(params, noise, context, context_null, *, model_cfg, policy,
            patch_size, seq_len, shift, solver, steps, guide_scale,
-           num_train_timesteps, fused_loop=False):
+           num_train_timesteps, fused_loop=False, mesh=None,
+           attn_impl="auto", token_sharding=None, cfg_mode="fused"):
     """Denoising loop.
 
     fused_loop=False (default): ONE compiled model step driven by a host
@@ -249,6 +300,10 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
     single-program execution limits of remote runtimes.
     fused_loop=True: the whole loop inside one jitted fori_loop (zero
     host round-trips; preferable on local chips for short step counts).
+
+    mesh/attn_impl/token_sharding: the multi-chip execution plan — the
+    mesh is activated around every traced model call so the shard_map
+    sequence-parallel attention paths can reach it (parallel.use_mesh).
     """
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
@@ -256,24 +311,31 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
     rope_sin, rope_cos = rope_angles_3d(
         grid, model_cfg.head_dim, seq_len=seq_len)
 
-    sol = get_solver(solver if solver == "unipc" else "dpm++", steps,
-                     float(shift), num_train_timesteps)
+    sol = get_solver(solver, steps, float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
-                   guide_scale=float(guide_scale))
+                   guide_scale=float(guide_scale), attn_impl=attn_impl,
+                   token_sharding=token_sharding, cfg_mode=cfg_mode)
+
+    import contextlib
+    from omnihuman_tpu.parallel.mesh import use_mesh
+    mesh_ctx = (lambda: use_mesh(mesh)) if mesh is not None else \
+        contextlib.nullcontext
 
     if fused_loop:
         def model_fn(x, t, i):
             return _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos,
                                    **statics)
-        return sol.sample_loop(model_fn, noise)
+        with mesh_ctx():
+            return sol.sample_loop(model_fn, noise)
 
     ts = sol.timesteps
     x = noise
     state = sol.init_state(noise)
     for i in range(steps):
-        v = _cfg_model_step(params, x, jnp.float32(ts[i]), ctx2,
-                            rope_sin, rope_cos, **statics)
+        with mesh_ctx():
+            v = _cfg_model_step(params, x, jnp.float32(ts[i]), ctx2,
+                                rope_sin, rope_cos, **statics)
         x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
     return x

@@ -364,6 +364,9 @@ def get_solver(kind: str, steps: int, shift: float,
                num_train_timesteps: int = 1000) -> "_PlanSolver":
     """Cached solver instances so repeated pipeline calls reuse the
     jitted step function (jit caches key on function identity)."""
+    if kind not in ("unipc", "dpm++"):
+        raise ValueError(
+            f"unknown solver {kind!r}; supported: 'unipc', 'dpm++'")
     cls = FlowUniPCSolver if kind == "unipc" else FlowDPMSolver
     return cls(steps=steps, shift=shift,
                num_train_timesteps=num_train_timesteps)

@@ -23,12 +23,20 @@ def _ctx(seed=0):
         jnp.float32)
 
 
-@pytest.fixture(scope="module")
-def sharded_pipe():
-    if jax.device_count() < 8:
-        pytest.skip("needs 8 devices")
-    mesh = create_mesh(MeshConfig(data=2, fsdp=2, sp=2))
-    p = WanT2V(TINY_TEST, checkpoint_dir=None, mesh=mesh,
+import dataclasses
+
+from omnihuman_tpu.configs.wan import DTypePolicy
+
+# f32 compute for the sharded-vs-unsharded equivalence tests: the ring
+# path reassociates the softmax accumulation, so in bf16 the two paths
+# differ at bf16 epsilon (~5e-3) — f32 keeps the structural comparison
+# tight. The golden test keeps the default (bf16-compute) policy.
+TINY_F32 = dataclasses.replace(
+    TINY_TEST, policy=DTypePolicy(compute=jnp.float32))
+
+
+def _mk_pipe(cfg, mesh=None):
+    p = WanT2V(cfg, checkpoint_dir=None, mesh=mesh,
                param_dtype=jnp.float32)
     rng = np.random.default_rng(42)
     p.params["head"]["w"] = jnp.asarray(
@@ -37,12 +45,21 @@ def sharded_pipe():
 
 
 @pytest.fixture(scope="module")
+def sharded_pipe():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, sp=2))
+    return _mk_pipe(TINY_F32, mesh=mesh)
+
+
+@pytest.fixture(scope="module")
+def plain_f32_pipe():
+    return _mk_pipe(TINY_F32)
+
+
+@pytest.fixture(scope="module")
 def plain_pipe():
-    p = WanT2V(TINY_TEST, checkpoint_dir=None, param_dtype=jnp.float32)
-    rng = np.random.default_rng(42)
-    p.params["head"]["w"] = jnp.asarray(
-        rng.normal(size=p.params["head"]["w"].shape) * 0.1, jnp.float32)
-    return p
+    return _mk_pipe(TINY_TEST)
 
 
 def test_sharded_params_placement(sharded_pipe):
@@ -57,13 +74,54 @@ def test_sharded_params_placement(sharded_pipe):
     assert "fsdp" in str(specs["blocks"]["ffn_fc1"]["w"])
 
 
-def test_sharded_generate_matches_unsharded(sharded_pipe, plain_pipe):
+def test_mesh_pipeline_uses_ring_plan(sharded_pipe):
+    """A mesh-built pipeline must route self-attention through the
+    shard_map ring path — the ONLY path that compiles on real TPUs
+    (bare Pallas under a mesh-jit cannot be GSPMD-partitioned,
+    REPORTS/memory_14B.md) — and annotate the token axis on sp."""
+    assert sharded_pipe.attn_impl == "ring"
+    ts = sharded_pipe.token_sharding
+    assert ts is not None and "sp" in str(ts.spec)
+
+
+def test_sharded_generate_matches_unsharded(sharded_pipe, plain_f32_pipe):
+    """Forces the ring/shard_map path (pipeline mesh plan) and matches
+    the single-device dense-XLA result."""
     kw = dict(size=(32, 32), frame_num=5, sampling_steps=2, seed=11,
               context=_ctx(0), context_null=_ctx(1), return_latents=True)
-    a = plain_pipe.generate("x", **kw)
+    a = plain_f32_pipe.generate("x", **kw)
     b = sharded_pipe.generate("x", **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_sequential_cfg_matches_fused(sharded_pipe, plain_f32_pipe):
+    """cfg_mode='sequential' (the memory-validated 14B@720p mode) is
+    numerically the fused computation run twice — outputs must agree on
+    the mesh and against the unsharded fused result."""
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=2, seed=11,
+              context=_ctx(0), context_null=_ctx(1), return_latents=True)
+    fused = plain_f32_pipe.generate("x", cfg_mode="fused", **kw)
+    seq = sharded_pipe.generate("x", cfg_mode="sequential", **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_default_cfg_mode_decision_table(plain_pipe):
+    """Defaults follow REPORTS/memory_14B.md: sequential for 14B-class
+    dims at 720p token counts, fused otherwise."""
+    import dataclasses
+    from omnihuman_tpu.configs import WAN_CONFIGS
+    big = WanT2V.__new__(WanT2V)
+    big.config = WAN_CONFIGS["t2v-14B"]
+    assert big.default_cfg_mode(75600) == "sequential"
+    assert big.default_cfg_mode(32768) == "fused"       # 14B @ 480p
+    assert plain_pipe.default_cfg_mode(75600) == "fused"  # 1.3B dims
+    with pytest.raises(ValueError, match="cfg_mode"):
+        plain_pipe.generate(
+            "x", size=(32, 32), frame_num=5, sampling_steps=1,
+            context=_ctx(0), context_null=_ctx(1), return_latents=True,
+            cfg_mode="both")
 
 
 def test_golden_latents_regression(plain_pipe):

@@ -118,3 +118,11 @@ def test_step_api_matches_loop():
     x_loop = solver.sample_loop(lambda x, t, i: vfn(x), noise)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_loop),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_unknown_solver_name_raises():
+    """Typos must fail loudly, not silently map to dpm++ (VERDICT r2
+    weak #5)."""
+    from omnihuman_tpu.samplers.fm_solvers import get_solver
+    with pytest.raises(ValueError, match="unknown solver"):
+        get_solver("unipcc", steps=5, shift=5.0)
