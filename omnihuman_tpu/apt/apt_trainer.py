@@ -75,9 +75,18 @@ class APTState:
     step: jnp.ndarray
 
 
-def make_rmsprop(lr: float) -> optax.GradientTransformation:
-    """RMSprop(alpha=0.9) like torch (apt_trainer.py:74-79)."""
-    return optax.rmsprop(lr, decay=0.9, eps=1e-8)
+def make_rmsprop(lr: float, accumulation_steps: int = 1
+                 ) -> optax.GradientTransformation:
+    """RMSprop(alpha=0.9) like torch (apt_trainer.py:74-79).
+
+    accumulation_steps > 1 wraps in optax.MultiSteps so the EFFECTIVE
+    batch can approach the paper's 9062-image / 2048-video recipe
+    (SeaweedAPTConfig.image_batch_size, seaweed paper §4.1) on a mesh —
+    k micro-batches accumulate before one RMSprop update."""
+    opt = optax.rmsprop(lr, decay=0.9, eps=1e-8)
+    if accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
+    return opt
 
 
 def d_trainable_mask(d_params) -> Any:
@@ -90,16 +99,22 @@ def d_trainable_mask(d_params) -> Any:
             for k, v in d_params.items()}
 
 
-def make_d_optimizer(lr: float, d_params) -> optax.GradientTransformation:
-    """RMSprop masked to the trainable subtree."""
-    return optax.masked(make_rmsprop(lr), d_trainable_mask(d_params))
+def make_d_optimizer(lr: float, d_params, accumulation_steps: int = 1
+                     ) -> optax.GradientTransformation:
+    """RMSprop masked to the trainable subtree (masked OUTSIDE MultiSteps
+    so the gradient accumulator is only allocated for the probes + head,
+    never the frozen 14B backbone)."""
+    return optax.masked(make_rmsprop(lr, accumulation_steps),
+                        d_trainable_mask(d_params))
 
 
-def init_apt_state(g_params, d_params, g_lr: float, d_lr: float) -> APTState:
+def init_apt_state(g_params, d_params, g_lr: float, d_lr: float,
+                   accumulation_steps: int = 1) -> APTState:
     return APTState(
         g_params=g_params, d_params=d_params,
-        g_opt=make_rmsprop(g_lr).init(g_params),
-        d_opt=make_d_optimizer(d_lr, d_params).init(d_params),
+        g_opt=make_rmsprop(g_lr, accumulation_steps).init(g_params),
+        d_opt=make_d_optimizer(d_lr, d_params,
+                               accumulation_steps).init(d_params),
         ema_params=jax.tree.map(jnp.copy, g_params),
         step=jnp.asarray(0, jnp.int32))
 
@@ -210,10 +225,12 @@ def apt_g_step(state: APTState, batch: Dict[str, jnp.ndarray], key,
 
 
 def start_video_phase(state: APTState, fresh_d_params,
-                      apt_cfg: SeaweedAPTConfig) -> APTState:
+                      apt_cfg: SeaweedAPTConfig,
+                      accumulation_steps: int = 1) -> APTState:
     """Phase 2 boot: G <- image-phase EMA, fresh D, fresh optimizers at the
     video learning rates (apt_trainer.py:202-232) — a PyTree copy instead
     of the reference's temp-file handshake."""
     g_params = jax.tree.map(jnp.copy, state.ema_params)
     return init_apt_state(g_params, fresh_d_params,
-                          apt_cfg.g_lr_video, apt_cfg.d_lr_video)
+                          apt_cfg.g_lr_video, apt_cfg.d_lr_video,
+                          accumulation_steps)

@@ -118,6 +118,7 @@ def generate_batch(
         "v_teacher": v_teacher,
     }
     if save:
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"dummy_data_{h}x{w}.npz")
         np.savez(path, **data)
     return data

@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--wandb_project", default="seaweed-apt-stage2")
     p.add_argument("--wandb_run_name", default=None)
+    p.add_argument("--grad_accumulation", type=int, default=1,
+                   help="micro-batches accumulated per optimizer update "
+                        "(optax.MultiSteps) — lets the effective batch "
+                        "approach the paper's 9062/2048 recipe")
+    from omnihuman_tpu.parallel.train_mesh import add_mesh_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     if args.config:
@@ -97,8 +103,15 @@ def main(argv=None):
             ("lambda_r1", args.lambda_r1),
             ("ema_decay", args.ema_decay)) if v is not None})
     bsz = args.batch_size or 1
+    accum = max(1, args.grad_accumulation)
 
-    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir)
+    from omnihuman_tpu.parallel.train_mesh import (
+        TrainMeshPlan, resolve_remat)
+    plan = TrainMeshPlan.from_sizes(args.fsdp_size, args.sp_size)
+    plan.check_batch(bsz)
+    logger.info(f"training plan: {plan.describe()} "
+                f"grad_accumulation={accum}")
+    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir, mesh=plan.mesh)
 
     # generator boot: pre-trained consistency EMA, else teacher copy
     # (apt_trainer.py:440-449)
@@ -127,20 +140,23 @@ def main(argv=None):
         c, f, h, w = data["noise"].shape[1:]
         pt, ph, pw = cfg.model.patch_size
         grid = (f // pt if pt > 1 else f, h // ph, w // pw)
-        seq_len = grid[0] * grid[1] * grid[2]
+        seq_len = plan.seq_len(grid[0] * grid[1] * grid[2])
         sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
         return seq_len, sin, cos
 
     def make_steps(seq_len, sin, cos, video, g_lr, d_lr, d_params):
-        g_opt = make_rmsprop(g_lr)
-        d_opt = make_d_optimizer(d_lr, d_params)
+        g_opt = make_rmsprop(g_lr, accum)
+        d_opt = make_d_optimizer(d_lr, d_params, accum)
         kw = dict(cfg=cfg.model, apt_cfg=apt_cfg, video=video,
                   seq_len=seq_len, rope_sin=sin, rope_cos=cos,
-                  policy=cfg.policy)
+                  policy=cfg.policy, attn_impl=plan.attn_impl,
+                  token_sharding=plan.token_sharding)
         d_fn = jax.jit(functools.partial(apt_d_step, d_optimizer=d_opt,
                                          **kw), donate_argnums=(0,))
-        g_fn = jax.jit(functools.partial(apt_g_step, g_optimizer=g_opt,
-                                         **kw), donate_argnums=(0,))
+        g_fn = jax.jit(functools.partial(
+            apt_g_step, g_optimizer=g_opt,
+            remat=resolve_remat(args.remat_group, cfg.model.num_layers),
+            **kw), donate_argnums=(0,))
         return g_opt, d_opt, d_fn, g_fn
 
     def run_phase(state, data, *, start_update, num_updates, step_offset,
@@ -150,10 +166,11 @@ def main(argv=None):
         n = data["noise"].shape[0]
         for update in range(start_update, num_updates):
             sel = rng.integers(0, n, size=bsz)
-            batch = _build_batch(data, sel, rng, jnp)
+            batch = plan.put_batch(_build_batch(data, sel, rng, jnp))
             key, kd, kg = jax.random.split(key, 3)
-            state, dm = d_fn(state, batch, kd)
-            state, gm = g_fn(state, batch, kg)
+            with plan.mesh_context():
+                state, dm = d_fn(state, batch, kd)
+                state, gm = g_fn(state, batch, kg)
             if (update + 1) % args.log_interval == 0:
                 m = {"phase": 0.0 if phase_name == "image" else 1.0,
                      "d_loss": float(dm["d_loss"]),
@@ -186,8 +203,8 @@ def main(argv=None):
 
     d_params = init_apt_discriminator(
         jax.random.fold_in(key, 1), pipe.params, cfg.model)
-    state = init_apt_state(g_params, d_params,
-                           apt_cfg.g_lr_image, apt_cfg.d_lr_image)
+    state = plan.shard_tree(init_apt_state(
+        g_params, d_params, apt_cfg.g_lr_image, apt_cfg.d_lr_image, accum))
 
     if args.resume:
         meta = ckpt.restore_metadata() or {}
@@ -203,7 +220,7 @@ def main(argv=None):
             start_update = int(meta.get("update", 0))
             if ckpt_phase == "video":
                 # match the video-phase tree before restoring into it
-                state = start_video_phase(state, d_params, apt_cfg)
+                state = start_video_phase(state, d_params, apt_cfg, accum)
             restored = ckpt.restore(target=state)
             if restored is None:
                 raise RuntimeError(
@@ -217,7 +234,8 @@ def main(argv=None):
                     # image phase done: perform the EMA handoff now
                     fresh_d = init_apt_discriminator(
                         jax.random.fold_in(key, 2), pipe.params, cfg.model)
-                    state = start_video_phase(state, fresh_d, apt_cfg)
+                    state = plan.shard_tree(
+                        start_video_phase(state, fresh_d, apt_cfg, accum))
                     start_phase, start_update = "video", 0
                 else:
                     logger.info("training already complete")
@@ -242,7 +260,8 @@ def main(argv=None):
         fresh_d = init_apt_discriminator(
             jax.random.fold_in(key, 2), state.d_params["backbone"],
             cfg.model)
-        state = start_video_phase(state, fresh_d, apt_cfg)
+        state = plan.shard_tree(
+            start_video_phase(state, fresh_d, apt_cfg, accum))
 
     # ---- phase 2: video (apt_trainer.py:236-331) ----------------------------
     _, _, d_fn, g_fn = make_steps(

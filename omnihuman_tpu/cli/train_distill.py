@@ -16,6 +16,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--ema_decay", type=float, default=None)
     p.add_argument("--save_interval", type=int, default=None)
+    from omnihuman_tpu.parallel.train_mesh import add_mesh_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     if args.config:
@@ -40,28 +42,37 @@ def main(argv=None):
     from omnihuman_tpu.utils.logging import logger
 
     cfg = WAN_CONFIGS[args.task]
-    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir)
+    from omnihuman_tpu.parallel.train_mesh import (
+        TrainMeshPlan, resolve_remat)
+    plan = TrainMeshPlan.from_sizes(args.fsdp_size, args.sp_size)
+    plan.check_batch(bsz)
+    logger.info(f"training plan: {plan.describe()}")
+    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir, mesh=plan.mesh)
     data = load_teacher_data(args.data_path)
     dl = create_dataloader(data, batch_size=bsz)
 
     c, f, h, w = data["noise"].shape[1:]
     grid = (f // cfg.model.patch_size[0], h // cfg.model.patch_size[1],
             w // cfg.model.patch_size[2])
-    seq_len = grid[0] * grid[1] * grid[2]
+    seq_len = plan.seq_len(grid[0] * grid[1] * grid[2])
     sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
 
     opt = make_optimizer(lr=lr)
-    state = init_distill_state(pipe.params, opt)
+    state = plan.shard_tree(init_distill_state(pipe.params, opt))
     ckpt = CheckpointManager(args.output_dir)
     step_fn = jax.jit(functools.partial(
         distill_train_step, optimizer=opt, cfg=cfg.model, seq_len=seq_len,
         rope_sin=sin, rope_cos=cos, policy=cfg.policy,
-        ema_decay=ema_decay), donate_argnums=(0,))
+        ema_decay=ema_decay,
+        remat=resolve_remat(args.remat_group, cfg.model.num_layers),
+        attn_impl=plan.attn_impl,
+        token_sharding=plan.token_sharding), donate_argnums=(0,))
 
     step = 0
     for epoch in range(epochs):
         for batch in dl():
-            state, m = step_fn(state, batch)
+            with plan.mesh_context():
+                state, m = step_fn(state, plan.put_batch(batch))
             step += 1
             if step % 5 == 0:
                 logger.info(f"epoch {epoch} step {step} "

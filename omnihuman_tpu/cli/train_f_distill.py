@@ -47,6 +47,8 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--wandb_project", default="wan-f-distillation")
     p.add_argument("--wandb_run_name", default=None)
+    from omnihuman_tpu.parallel.train_mesh import add_mesh_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     if args.config:
@@ -71,7 +73,11 @@ def main(argv=None):
     from omnihuman_tpu.utils.logging import MetricsLogger, logger
 
     cfg = WAN_CONFIGS[args.task]
-    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir)
+    from omnihuman_tpu.parallel.train_mesh import TrainMeshPlan
+    plan = TrainMeshPlan.from_sizes(args.fsdp_size, args.sp_size)
+    plan.check_batch(args.batch_size)
+    logger.info(f"training plan: {plan.describe()}")
+    pipe = WanT2V(cfg, checkpoint_dir=args.checkpoint_dir, mesh=plan.mesh)
     data = load_teacher_data(args.data_path)
     dl = create_dataloader(data, batch_size=args.batch_size,
                            seed=args.seed)
@@ -82,7 +88,7 @@ def main(argv=None):
     c, f, h, w = data["noise"].shape[1:]
     pt, ph, pw = cfg.model.patch_size
     grid = (f // pt if pt > 1 else f, h // ph, w // pw)
-    seq_len = grid[0] * grid[1] * grid[2]
+    seq_len = plan.seq_len(grid[0] * grid[1] * grid[2])
     sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
 
     optimizer = optax.adamw(args.learning_rate, weight_decay=0.01)
@@ -93,7 +99,8 @@ def main(argv=None):
     feat_dim = min(512, int(np.prod(data["noise"].shape[1:])))
     d_params = init_mlp_discriminator(jax.random.key(args.seed),
                                       in_dim=feat_dim)
-    state = init_f_distill_state(student, d_params, optimizer, d_optimizer)
+    state = plan.shard_tree(
+        init_f_distill_state(student, d_params, optimizer, d_optimizer))
 
     ckpt = CheckpointManager(args.output_dir)
     start_step = 0
@@ -117,7 +124,8 @@ def main(argv=None):
         cfg_scale=args.cfg_scale, alpha=args.alpha, beta=args.beta,
         use_discriminator=args.use_discriminator,
         t_max=float(cfg.num_train_timesteps),
-        feature_fn=functools.partial(default_feature_fn, dim=feat_dim)),
+        feature_fn=functools.partial(default_feature_fn, dim=feat_dim),
+        attn_impl=plan.attn_impl, token_sharding=plan.token_sharding),
         donate_argnums=(0,))
 
     step = start_step
@@ -138,7 +146,9 @@ def main(argv=None):
                 continue
             batch = {"noise": batch["noise"], "context": batch["context"],
                      "context_null": neg_ctx[:batch["noise"].shape[0]]}
-            state, m = step_fn(state, pipe.params, batch)
+            with plan.mesh_context():
+                state, m = step_fn(state, pipe.params,
+                                   plan.put_batch(batch))
             step += 1
             if step % 5 == 0 or step == start_step + 1:
                 rec = {k: float(v) for k, v in m.items()}

@@ -21,6 +21,8 @@ def main(argv=None):
                         "Wan2.1_VAE.pth + umT5 .pth); None = random init")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest (step, stage) checkpoint")
+    from omnihuman_tpu.parallel.train_mesh import add_mesh_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     import os
@@ -94,11 +96,18 @@ def main(argv=None):
     text_encoder = T5TextEncoder(t5_cfg, text_len, tokenizer_name=tok_name,
                                  ckpt_dir=args.ckpt_dir)
 
+    from omnihuman_tpu.parallel.train_mesh import (
+        TrainMeshPlan, resolve_remat)
+    plan = TrainMeshPlan.from_sizes(args.fsdp_size, args.sp_size)
+    plan.check_batch(cfg.get_path("training.batch_size", 1))
+    logger.info(f"training plan: {plan.describe()}")
+
     metrics = MetricsLogger(project=cfg.get("project", "omnihuman-tpu"),
                             run_name=cfg.get("run_name"), out_dir=out_dir)
     tracker = ProblematicVideoTracker(f"{out_dir}/bad_videos")
     trainer = OmniHumanTrainer(
-        params, ocfg, stages=stages,
+        params, ocfg, stages=stages, plan=plan,
+        remat=resolve_remat(args.remat_group, base.num_layers),
         learning_rate=cfg.get_path("training.learning_rate", 1e-4),
         scheduler_type=cfg.get_path("training.scheduler_type", "cosine"),
         weight_decay=cfg.get_path("training.weight_decay", 0.01),

@@ -364,12 +364,63 @@ def wan_model_forward(
             x.shape[3] // cfg.patch_size[1],
             x.shape[4] // cfg.patch_size[2])
     n_tokens = grid[0] * grid[1] * grid[2]
-    assert n_tokens <= seq_len, f"{n_tokens} tokens > seq_len {seq_len}"
 
     tokens = _patchify(params, x, cfg, policy)          # [B, n_tokens, dim]
+    out, taps = dit_body(
+        params, tokens, t, context, cfg=cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, n_tokens=n_tokens,
+        context_lens=context_lens, clip_fea=clip_fea, policy=policy,
+        remat=remat, attn_impl=attn_impl, collect_layers=collect_layers,
+        token_sharding=token_sharding, audio_ctx=audio_ctx)
+
+    v = _unpatchify(out, grid, cfg).astype(jnp.float32)
+    if collect_layers is not None:
+        return v, taps
+    return v
+
+
+def dit_body(
+    params: Params,
+    tokens: jnp.ndarray,            # [B, n_tokens, dim] pre-built tokens
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    *,
+    cfg: WanModelConfig,
+    seq_len: int,
+    rope_sin: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    n_tokens: int,                  # true (unpadded) token count
+    context_lens: Optional[jnp.ndarray] = None,
+    clip_fea: Optional[jnp.ndarray] = None,
+    policy: DTypePolicy = DTypePolicy(),
+    remat=True,
+    attn_impl: str = "auto",
+    collect_layers: Optional[Sequence[int]] = None,
+    token_sharding=None,
+    audio_ctx: Optional[jnp.ndarray] = None,
+):
+    """The shared DiT trunk on pre-built tokens: pad → shard → time/text
+    embeds → block scan (plain / grouped remat / tapped) → modulated head.
+
+    ONE body serves both the standard video path (wan_model_forward) and
+    OmniHuman's packed video+reference+motion sequences (omni/model.py) —
+    so grouped two-level remat, discriminator taps, seq-len padding and
+    sp sharding behave identically everywhere.
+
+    Returns (out [B, seq_len, prod(patch)*out_dim], taps).
+    """
+    b = tokens.shape[0]
+    assert n_tokens <= seq_len, f"{n_tokens} tokens > seq_len {seq_len}"
     tokens = tokens.astype(policy.residual)
     if n_tokens < seq_len:
         tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - n_tokens), (0, 0)))
+    if rope_sin.shape[0] < seq_len:
+        # identity rotation on padding (cos=1, sin=0) — packed callers
+        # build tables for the true length only
+        pad = seq_len - rope_sin.shape[0]
+        rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+        rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                           constant_values=1.0)
     if token_sharding is not None:
         # sequence-parallel annotation: GSPMD shards the token axis over
         # the `sp` mesh axis (replaces xdit_context_parallel.py:130-133's
@@ -482,11 +533,7 @@ def wan_model_forward(
     h = layer_norm(x_out, eps=cfg.eps, out_dtype=jnp.float32)
     h = h * (1.0 + he[:, 1][:, None]) + he[:, 0][:, None]
     out = h @ hp["w"] + hp["b"]
-
-    v = _unpatchify(out, grid, cfg).astype(jnp.float32)
-    if collect_layers is not None:
-        return v, taps
-    return v
+    return out, taps
 
 
 def count_params(params: Params) -> int:

@@ -200,9 +200,10 @@ def omni_model_forward(
     cond_mask: Optional[Dict[str, jnp.ndarray]] = None,  # [B] per modality
     context_lens: Optional[jnp.ndarray] = None,
     policy: DTypePolicy = DTypePolicy(),
-    remat: bool = True,
+    remat=True,
     attn_impl: str = "auto",
     token_sharding=None,
+    seq_align: int = 1,
 ) -> jnp.ndarray:
     """Velocity prediction with omni-conditions injected.
 
@@ -215,6 +216,14 @@ def omni_model_forward(
     the spec's 'motion frames for long video generation'
     (README.md:154). Temporal layout when present:
         reference @ t=0, motion @ t=1..M, video @ t=M+1..
+
+    remat: True = per-block checkpointing, int g = grouped two-level
+    remat (the 14B setting) — same semantics as wan_model_forward.
+    seq_align: sp mesh degree; the packed video+ref+motion length is
+    padded (masked, identity-RoPE) to an sp-divisible and — at flagship
+    lengths — 1024-flash-block-aligned total, the same rule as
+    WanT2V.seq_len_for. Without this, ring attention rejects packed
+    lengths that don't shard evenly.
     """
     base_cfg = cfg.base
     bp = params["base"]
@@ -276,7 +285,14 @@ def omni_model_forward(
     else:
         rope_sin, rope_cos = rope_angles_3d(grid, base_cfg.head_dim)
 
-    seq_len = tokens.shape[1]
+    n_packed = tokens.shape[1]
+    # seq_len_for rule on the PACKED length: sp-divisible, and
+    # 1024-flash-block aligned at flagship lengths (pad is masked via
+    # seq_lens + identity RoPE inside dit_body)
+    import numpy as np
+    align = (int(np.lcm(max(seq_align, 1), 1024)) if n_packed >= 4096
+             else max(seq_align, 1))
+    seq_len = int(math.ceil(n_packed / align) * align)
 
     # ---- audio tokens
     audio_ctx = None
@@ -286,54 +302,16 @@ def omni_model_forward(
         if m is not None:
             audio_ctx = audio_ctx * m
 
-    # ---- run the DiT on the packed sequence
-    v = _forward_packed(bp, tokens, t, context, base_cfg, seq_len,
-                        rope_sin, rope_cos, context_lens, policy, remat,
-                        attn_impl, audio_ctx, grid, n_video,
-                        token_sharding)
-    return v
-
-
-def _forward_packed(bp, tokens, t, context, cfg, seq_len, rope_sin,
-                    rope_cos, context_lens, policy, remat, attn_impl,
-                    audio_ctx, grid, n_video, token_sharding=None):
-    """wan_dit forward body operating on pre-built tokens (video+ref)."""
-    import functools
-    b = tokens.shape[0]
-    seq_lens = jnp.full((b,), seq_len, dtype=jnp.int32)
-    if token_sharding is not None:
-        tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
-
-    e = wan_dit.sinusoidal_embedding_1d(cfg.freq_dim, t)
-    e = _linear(bp["time_fc1"], e, jnp.float32)
-    e = jax.nn.silu(e)
-    e = _linear(bp["time_fc2"], e)
-    e0 = _linear(bp["time_proj"], jax.nn.silu(e)).reshape(b, 6, cfg.dim)
-
-    ctx = _linear(bp["text_fc1"], context, jnp.float32)
-    ctx = jax.nn.gelu(ctx, approximate=True)
-    ctx = _linear(bp["text_fc2"], ctx)
-
-    block_fn = functools.partial(
-        wan_dit._block_forward, context=ctx, context_lens=context_lens,
-        rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
-        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
-
-    def scan_body(carry, blk):
-        fn = block_fn
-        if remat:
-            fn = jax.checkpoint(
-                fn, policy=jax.checkpoint_policies.nothing_saveable)
-        return fn(blk, carry, e0), None
-
-    x_out, _ = jax.lax.scan(scan_body, tokens, bp["blocks"])
-
-    hp = bp["head"]
-    he = hp["modulation"][None].astype(jnp.float32) + e[:, None]
-    hx = wan_dit.layer_norm(x_out, eps=cfg.eps, out_dtype=jnp.float32)
-    hx = hx * (1.0 + he[:, 1][:, None]) + he[:, 0][:, None]
-    out = hx @ hp["w"] + hp["b"]
-
-    # drop reference tokens before unpatchify: only video tokens decode
-    out = out[:, :n_video]
-    return wan_dit._unpatchify(out, grid, cfg).astype(jnp.float32)
+    # ---- run the shared DiT trunk on the packed sequence (ONE body with
+    # wan_model_forward: grouped remat, taps, padding, sp sharding —
+    # wan_dit.dit_body)
+    out, _ = wan_dit.dit_body(
+        bp, tokens, t, context, cfg=base_cfg, seq_len=seq_len,
+        rope_sin=rope_sin, rope_cos=rope_cos, n_tokens=n_packed,
+        context_lens=context_lens, policy=policy, remat=remat,
+        attn_impl=attn_impl, token_sharding=token_sharding,
+        audio_ctx=audio_ctx)
+    # drop reference/motion/pad tokens before unpatchify: only video
+    # tokens decode
+    return wan_dit._unpatchify(out[:, :n_video], grid,
+                               base_cfg).astype(jnp.float32)

@@ -101,9 +101,10 @@ def omni_flow_matching_loss(params, batch, masks, t, key, *,
                             cfg: OmniModelConfig,
                             policy: DTypePolicy = DTypePolicy(),
                             target: str = "velocity",
-                            remat: bool = True,
+                            remat=True,
                             attn_impl: str = "auto",
-                            token_sharding=None):
+                            token_sharding=None,
+                            seq_align: int = 1):
     """Flow-matching loss (omnihuman_wan_t2v.py:469-491).
 
     batch: frames (clean latents) [B,C,F,H,W], context, audio, pose,
@@ -119,7 +120,7 @@ def omni_flow_matching_loss(params, batch, masks, t, key, *,
         audio=batch.get("audio"), pose=batch.get("pose"),
         ref_latent=batch.get("reference"), cond_mask=masks,
         policy=policy, remat=remat, attn_impl=attn_impl,
-        token_sharding=token_sharding)
+        token_sharding=token_sharding, seq_align=seq_align)
 
     if target == "velocity":
         tgt = noise - frames           # d x_t / dt for the interpolant
@@ -133,9 +134,10 @@ def omni_train_step(state: OmniTrainState, batch, ratios: Dict[str, float],
                     cfg: OmniModelConfig,
                     policy: DTypePolicy = DTypePolicy(),
                     target: str = "velocity",
-                    remat: bool = True,
+                    remat=True,
                     attn_impl: str = "auto",
-                    token_sharding=None) -> Tuple[OmniTrainState, Dict]:
+                    token_sharding=None,
+                    seq_align: int = 1) -> Tuple[OmniTrainState, Dict]:
     """One jitted step with stochastic per-batch condition activation
     (ratios dict is static; draws are on-device).
 
@@ -153,7 +155,7 @@ def omni_train_step(state: OmniTrainState, batch, ratios: Dict[str, float],
     loss, grads = jax.value_and_grad(omni_flow_matching_loss)(
         state.params, batch, masks, t, k_noise, cfg=cfg, policy=policy,
         target=target, remat=remat, attn_impl=attn_impl,
-        token_sharding=token_sharding)
+        token_sharding=token_sharding, seq_align=seq_align)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
@@ -177,16 +179,27 @@ class OmniHumanTrainer:
                  log_interval: int = 100,
                  policy: DTypePolicy = DTypePolicy(),
                  target: str = "velocity",
-                 metric_writer: Optional[Callable[[Dict, int], None]] = None):
+                 metric_writer: Optional[Callable[[Dict, int], None]] = None,
+                 plan=None,
+                 remat=True):
+        """plan: optional parallel.train_mesh.TrainMeshPlan — shards the
+        train state (FSDP), routes attention through the ring shard_map
+        path and data-shards each batch (reference: FSDP via shard_model
+        + xDiT sp groups). remat: True per-block, int g = grouped."""
         self.cfg = cfg
         self.stages = stages
         total = sum(s.num_steps for s in stages)
         self.optimizer = make_omni_optimizer(
             make_lr_schedule(scheduler_type, learning_rate, total),
             weight_decay, max_grad_norm)
-        self.state = OmniTrainState(
+        if plan is None:
+            from omnihuman_tpu.parallel.train_mesh import TrainMeshPlan
+            plan = TrainMeshPlan.from_sizes(1, 1)
+        self.plan = plan
+        self.remat = remat
+        self.state = plan.shard_tree(OmniTrainState(
             params=params, opt_state=self.optimizer.init(params),
-            step=jnp.asarray(0, jnp.int32))
+            step=jnp.asarray(0, jnp.int32)))
         self.ckpt = CheckpointManager(checkpoint_dir)
         self.checkpoint_interval = checkpoint_interval
         self.log_interval = log_interval
@@ -205,7 +218,10 @@ class OmniHumanTrainer:
                 return omni_train_step(
                     state, batch, dict(frozen), key,
                     optimizer=self.optimizer, cfg=self.cfg,
-                    policy=self.policy, target=self.target)
+                    policy=self.policy, target=self.target,
+                    remat=self.remat, attn_impl=self.plan.attn_impl,
+                    token_sharding=self.plan.token_sharding,
+                    seq_align=self.plan.sp)
             self._step_cache[frozen] = jax.jit(step, donate_argnums=(0,))
         return self._step_cache[frozen]
 
@@ -223,9 +239,10 @@ class OmniHumanTrainer:
         last = {}
         step_fn = self._jit_step(stage.condition_ratios)
         for i in range(start_step, stage.num_steps):
-            batch = next(data_iter)
+            batch = self.plan.put_batch(next(data_iter))
             key, sub = jax.random.split(key)
-            self.state, metrics = step_fn(self.state, batch, sub)
+            with self.plan.mesh_context():
+                self.state, metrics = step_fn(self.state, batch, sub)
             pending.append(metrics["loss"])
             if i % self.log_interval == 0:
                 gstep = int(self.state.step)

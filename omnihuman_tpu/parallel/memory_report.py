@@ -387,6 +387,92 @@ def analyze_apt_steps(
     return out
 
 
+def analyze_omni_step(
+    task: str = "t2v-14B",
+    size: Tuple[int, int] = (832, 480),
+    frame_num: int = 81,
+    mesh_shape: Dict[str, int] = None,
+    batch: int = 1,
+    attn_impl: Optional[str] = None,
+    remat=8,
+    backend: str = "tpu",
+    devices=None,
+) -> Dict[str, Any]:
+    """AOT-compile the OmniHuman conditioned training step at scale
+    (BASELINE.json configs[4]: full omni-conditions on the 14B backbone,
+    sharded mesh) and report per-device memory. The packed sequence is
+    video + reference tokens with the sp/flash-block padding rule
+    (omni/model.py seq_align)."""
+    from omnihuman_tpu.omni.model import OmniModelConfig, init_omni_model
+    from omnihuman_tpu.omni.trainer import (
+        OmniTrainState, make_lr_schedule, make_omni_optimizer,
+        omni_train_step)
+
+    cfg = WAN_CONFIGS[task]
+    mesh_shape = mesh_shape or {"data": 1, "fsdp": 16, "sp": 2}
+    if backend == "tpu" and devices is None:
+        mesh = topology_mesh(mesh_shape)
+        attn_impl = attn_impl or "ring"
+    else:
+        mesh = create_mesh(MeshConfig(**mesh_shape), devices=devices)
+        attn_impl = attn_impl or "xla_chunked"
+    sp = mesh.shape.get("sp", 1)
+
+    lat, grid, n_tokens = latent_geometry(cfg, size, frame_num)
+    f_lat, lat_h, lat_w = lat[1:]
+    ocfg = OmniModelConfig(base=cfg.model, audio_dim=1024,
+                           num_keypoints=308, num_frames=f_lat)
+    optimizer = make_omni_optimizer(make_lr_schedule("cosine", 1e-4, 1000))
+
+    def abstract_state():
+        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        params = bf16(init_omni_model(jax.random.key(0), ocfg))
+        return OmniTrainState(params=params,
+                              opt_state=optimizer.init(params),
+                              step=jnp.asarray(0, jnp.int32))
+
+    state_shape = jax.eval_shape(abstract_state)
+    state_sh = _shardings(mesh, state_shape)
+
+    b = batch
+    batch_s = {
+        "frames": jax.ShapeDtypeStruct((b,) + lat, jnp.float32),
+        "context": jax.ShapeDtypeStruct((b, cfg.text_len, cfg.t5.dim),
+                                        jnp.bfloat16),
+        "reference": jax.ShapeDtypeStruct((b, lat[0], 1, lat_h, lat_w),
+                                          jnp.float32),
+        "audio": jax.ShapeDtypeStruct((b, f_lat, ocfg.audio_dim),
+                                      jnp.float32),
+        "pose": jax.ShapeDtypeStruct(
+            (b, ocfg.num_keypoints, f_lat, 2 * lat_h, 2 * lat_w),
+            jnp.float32),
+    }
+    repl = NamedSharding(mesh, P())
+    batch_sh = jax.tree.map(lambda _: repl, batch_s)
+    key_abs = jax.eval_shape(lambda: jax.random.key(0))
+    ratios = {"audio": 1.0, "pose": 1.0, "reference": 1.0}
+    token_sharding = NamedSharding(mesh, P(None, "sp", None))
+
+    def step(state, batch, key):
+        return omni_train_step(
+            state, batch, ratios, key, optimizer=optimizer, cfg=ocfg,
+            policy=cfg.policy, remat=remat, attn_impl=attn_impl,
+            token_sharding=token_sharding, seq_align=sp)
+
+    jitted = jax.jit(step, in_shardings=(state_sh, batch_sh, repl),
+                     donate_argnums=(0,))
+    with use_mesh(mesh):
+        lowered = jitted.lower(state_shape, batch_s, key_abs)
+        stats = _compile_stats(lowered)
+    stats.update(task=f"omni-{task}", step="omni_train", remat=remat,
+                 mesh=dict(mesh_shape), n_video_tokens=n_tokens,
+                 batch=batch, size=list(size), frame_num=frame_num,
+                 attn_impl=attn_impl,
+                 fits_v5e=(stats["peak_bytes"] < V5E_HBM_BYTES
+                           and not stats.get("oom", False)))
+    return stats
+
+
 def main(argv=None):  # pragma: no cover - exercised by the report script
     import argparse
     import json
@@ -394,7 +480,7 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
     p = argparse.ArgumentParser("memory-report")
     p.add_argument("--task", default="i2v-14B")
     p.add_argument("--what", default="cfg",
-                   choices=["cfg", "apt", "pipeline"])
+                   choices=["cfg", "apt", "pipeline", "omni"])
     p.add_argument("--cfg_mode", default="sequential",
                    choices=["fused", "sequential"],
                    help="CFG execution for --what pipeline")
@@ -415,6 +501,9 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
         stats = analyze_pipeline_cfg_step(args.task, (w, h), args.frame_num,
                                           mesh_shape, args.batch,
                                           cfg_mode=args.cfg_mode)
+    elif args.what == "omni":
+        stats = analyze_omni_step(args.task, (w, h), args.frame_num,
+                                  mesh_shape, args.batch)
     else:
         stats = analyze_apt_steps(args.task, (w, h), args.frame_num,
                                   mesh_shape, args.batch)

@@ -126,3 +126,94 @@ def test_unknown_solver_name_raises():
     from omnihuman_tpu.samplers.fm_solvers import get_solver
     with pytest.raises(ValueError, match="unknown solver"):
         get_solver("unipcc", steps=5, shift=5.0)
+
+
+def test_unipc_5step_coefficient_goldens():
+    """Hand-derived coefficient table for steps=5, shift=5, bh2, order 2
+    (VERDICT r2 missing #5): the literals below were computed
+    independently from the reference algorithm's published equations
+    (fm_solvers_unipc.py:430-466,575-607 — shifted sigmas, alpha=1-sigma,
+    lambda=log(alpha/sigma), B(h)=expm1(hh), order-2 predictor rho=1/2,
+    corrector solves the 2x2 R·rho=b system), NOT by running plan_unipc.
+    Any refactor that drifts the schedule or the B(h) algebra fails here.
+
+    Note: sigma_max=1 ⇒ lambda_0 = log(0) — clamped at 1e-300 (the
+    reference's float tensor gives -inf, zeroing the same D1 term; ours
+    weights it by 0.5/701 ≈ 7e-4, numerically equivalent).
+    """
+    from omnihuman_tpu.samplers.fm_solvers import plan_unipc
+    p = plan_unipc(5, 5.0)
+
+    np.testing.assert_allclose(
+        p.sigmas,
+        [1.0, 20 / 21, 15 / 17, 10 / 13, 5 / 9, 0.0], rtol=1e-12)
+    np.testing.assert_allclose(
+        p.timesteps, [1000.0, 20000 / 21, 15000 / 17, 10000 / 13,
+                      5000 / 9], rtol=1e-12)
+    # predictor: x-coef = sigma_{i+1}/sigma_i, m0/bh = -alpha*expm1(hh)
+    np.testing.assert_allclose(
+        p.pred_x, [20 / 21, 0.9264705882352942, 0.8717948717948717,
+                   0.7222222222222222, 0.0], rtol=1e-12)
+    np.testing.assert_allclose(
+        p.pred_m0, [1 / 21, 0.07352941176470583, 0.12820512820512828,
+                    0.27777777777777785, 1.0], rtol=1e-9)
+    np.testing.assert_allclose(p.pred_bh, p.pred_m0, rtol=1e-12)  # bh2
+    # warm-up order 1 @step0, cool-down order 1 @step4 (lower_order_final)
+    np.testing.assert_allclose(p.pred_rho[:, 0], [0, .5, .5, .5, 0])
+    np.testing.assert_allclose(
+        p.pred_rk[:, 0],
+        [1.0, -701.222759733939, -1.2095112913514527,
+         -0.826780210445695, 1.0], rtol=1e-9)
+    # corrector: step1 order-1 rho_last=1/2; steps 2-4 solve the 2x2
+    np.testing.assert_allclose(p.use_corrector, [0, 1, 1, 1, 1])
+    np.testing.assert_allclose(
+        p.corr_rho_last,
+        [0.0, 0.5, 0.5802209309467427, 0.492230810430962,
+         0.49064947112821994], rtol=1e-9)
+    np.testing.assert_allclose(
+        p.corr_rho[:, 0],
+        [0.0, 0.0, 0.00023362122999125645, 0.074617458380822,
+         0.08980508104851398], rtol=1e-6, atol=1e-12)
+
+
+def test_dpm_5step_coefficient_goldens():
+    """DPM-Solver++ midpoint data-prediction table at steps=5, shift=5
+    (reference fm_solvers.py:341-520): first-order coefs equal UniPC's
+    (same schedule), midpoint D1 weight 1/2 with the sign flipped into
+    pred_bh (= +alpha*expm1(-h)) for the shared-step D1 orientation."""
+    from omnihuman_tpu.samplers.fm_solvers import plan_dpm
+    d = plan_dpm(5, 5.0)
+    np.testing.assert_allclose(
+        d.pred_x, [20 / 21, 0.9264705882352942, 0.8717948717948717,
+                   0.7222222222222222, 0.0], rtol=1e-12)
+    np.testing.assert_allclose(
+        d.pred_m0, [1 / 21, 0.07352941176470583, 0.12820512820512828,
+                    0.27777777777777785, 1.0], rtol=1e-9)
+    np.testing.assert_allclose(d.pred_bh, -d.pred_m0 * (d.pred_rho[:, 0] > 0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(d.pred_rho[:, 0], [0, .5, .5, .5, 0])
+    np.testing.assert_allclose(
+        d.pred_rk[:, 0],
+        [1.0, 701.222759733939, 1.2095112913514527, 0.826780210445695,
+         1.0], rtol=1e-9)
+    assert not d.use_corrector.any()
+
+
+def test_solver_5step_trajectory_goldens():
+    """Pinned end-to-end trajectories (v = 0.3x + 1, fixed start) for
+    both solvers at steps=5/shift=5 — catches silent drift in the
+    device-side step() algebra where the coefficient goldens can't."""
+    from omnihuman_tpu.samplers.fm_solvers import (
+        FlowDPMSolver, FlowUniPCSolver)
+    start = jnp.asarray([[1.0, -0.5, 2.0, 0.25]], jnp.float32)
+    want = {
+        "unipc": [[-0.17519188, -1.2683947, 0.55360997, -0.7217933]],
+        "dpm": [[-0.17694747, -1.2695426, 0.5514492, -0.7232451]],
+    }
+    for cls, name in ((FlowUniPCSolver, "unipc"), (FlowDPMSolver, "dpm")):
+        sol = cls(steps=5, shift=5.0)
+        x, state = start, sol.init_state(start)
+        for i in range(5):
+            x, state = sol.step(state, 0.3 * x + 1.0, x, i)
+        np.testing.assert_allclose(np.asarray(x), want[name],
+                                   atol=2e-6, rtol=2e-6, err_msg=name)
