@@ -60,6 +60,15 @@ def flash_attention_fp32(q, k, v, q_lens=None, k_lens=None, dropout_p=0.0,
 
 
 def _ensure_stubs():
+    if "torchvision" not in sys.modules:
+        # clip.py imports torchvision.transforms at module scope but only
+        # uses it inside `_clip(return_transforms=True)`, which the parity
+        # tests never call — an empty stub is sufficient.
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules.update({"torchvision": tv,
+                            "torchvision.transforms": tvt})
     if "diffusers" not in sys.modules:
         cu = types.ModuleType("diffusers.configuration_utils")
 
@@ -112,3 +121,19 @@ def load_reference():
     model = _load(f"{_PKG}.model", "model.py")
     vae = _load(f"{_PKG}.vae", "vae.py")
     return attn, model, vae
+
+
+def load_reference_clip():
+    """Returns the reference clip module (clip.py:328 `XLMRobertaCLIP`),
+    with its `flash_attention` (used by the ViT blocks + AttentionPool)
+    patched to the exact fp32 SDPA above."""
+    if f"{_PKG}.clip" in sys.modules:
+        return sys.modules[f"{_PKG}.clip"]
+    load_reference()
+    # the real tokenizers.py needs ftfy (absent); clip.py only references
+    # HuggingfaceTokenizer inside `_clip(return_tokenizer=True)`
+    tok = types.ModuleType(f"{_PKG}.tokenizers")
+    tok.HuggingfaceTokenizer = object
+    sys.modules[f"{_PKG}.tokenizers"] = tok
+    _load(f"{_PKG}.xlm_roberta", "xlm_roberta.py")
+    return _load(f"{_PKG}.clip", "clip.py")

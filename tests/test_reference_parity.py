@@ -23,15 +23,17 @@ import jax.numpy as jnp
 import pytest
 import torch
 
-from ref_compat import load_reference
+from ref_compat import load_reference, load_reference_clip
 from omnihuman_tpu.configs.wan import (
-    DTypePolicy, T5Config, VAEConfig, WanModelConfig)
+    CLIPConfig, DTypePolicy, T5Config, VAEConfig, WanModelConfig)
+from omnihuman_tpu.models.clip import (
+    clip_textual_forward, clip_visual_forward)
 from omnihuman_tpu.models.t5 import t5_encode
 from omnihuman_tpu.models.vae import vae_decode, vae_encode
 from omnihuman_tpu.models.wan_dit import wan_model_forward
 from omnihuman_tpu.ops.rope import rope_angles_3d
 from omnihuman_tpu.utils.convert import (
-    convert_t5_hf, convert_vae, convert_wan_dit)
+    convert_clip, convert_t5_hf, convert_vae, convert_wan_dit)
 
 FP32 = DTypePolicy(compute=jnp.float32)
 
@@ -176,6 +178,77 @@ def test_vae_parity_real_config_dims():
                      num_res_blocks=2, attn_scales=[],
                      temperal_downsample=[False, True, True]),
                 cfg, (1, 3, 9, 32, 32), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLIP (XLMRobertaCLIP, clip.py:328-425 + xlm_roberta.py:76-144)
+
+
+def _clip_parity(ref_kw: dict, cfg: CLIPConfig, batch: int, atol: float,
+                 seed: int = 3):
+    """visual(use_31_block=True) token output + textual pooled embedding
+    vs the reference forward. The reference VisionTransformer.forward never
+    applies post_norm/head (clip.py:293-301 returns raw transformer tokens
+    on both branches), so only the i2v-serving 31-block path has reference
+    behavior to match; our pooled path is an extension gated by its own
+    shape test elsewhere."""
+    clip_mod = load_reference_clip()
+    torch.manual_seed(seed)
+    model = clip_mod.XLMRobertaCLIP(**ref_kw).eval()
+
+    g = np.random.default_rng(seed)
+    imgs = (g.normal(size=(batch, 3, cfg.image_size, cfg.image_size))
+            .astype(np.float32) * 0.5)
+    ids = g.integers(2, cfg.vocab_size, size=(batch, 12)).astype(np.int64)
+    ids[-1, 8:] = cfg.pad_id  # exercise the padded-position path
+    with torch.no_grad():
+        want_vis = model.visual(torch.from_numpy(imgs),
+                                use_31_block=True).numpy()
+        want_txt = model.textual(torch.from_numpy(ids)).numpy()
+
+    params = convert_clip(_to_numpy_sd(model), cfg)
+    got_vis = np.asarray(clip_visual_forward(
+        params, jnp.asarray(imgs), cfg, use_31_block=True))
+    n_tokens = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    assert got_vis.shape == (batch, n_tokens, cfg.vision_dim)
+    assert got_vis.shape == want_vis.shape
+    err = np.abs(got_vis - want_vis).max()
+    assert err <= atol, f"CLIP visual parity max abs err {err:.2e}"
+
+    got_txt = np.asarray(clip_textual_forward(
+        params, jnp.asarray(ids.astype(np.int32)), cfg))
+    assert got_txt.shape == want_txt.shape == (batch, cfg.embed_dim)
+    err = np.abs(got_txt - want_txt).max()
+    assert err <= atol, f"CLIP textual parity max abs err {err:.2e}"
+
+
+def test_clip_parity_tiny():
+    ref_kw = dict(embed_dim=24, image_size=16, patch_size=8, vision_dim=32,
+                  vision_mlp_ratio=4, vision_heads=4, vision_layers=3,
+                  activation="gelu", vocab_size=64, max_text_len=20,
+                  type_size=1, pad_id=1, text_dim=32, text_heads=4,
+                  text_layers=2, text_dropout=0.0)
+    cfg = CLIPConfig(embed_dim=24, image_size=16, patch_size=8,
+                     vision_dim=32, vision_heads=4, vision_layers=3,
+                     vocab_size=64, max_text_len=20, text_dim=32,
+                     text_heads=4, text_layers=2)
+    _clip_parity(ref_kw, cfg, batch=2, atol=1e-4)
+
+
+def test_clip_parity_real_vit_h_14_dims():
+    """Real ViT-H/14 visual topology (clip_xlm_roberta_vit_h_14,
+    clip.py:471-499: 32 layers, dim 1280, patch 14, 257 tokens — exactly
+    what i2v-14B serving consumes) with a reduced text tower to keep the
+    250k-vocab embedding out of the test budget. The i2v conversion gate
+    (VERDICT round-2 missing #3)."""
+    ref_kw = dict(embed_dim=1024, image_size=224, patch_size=14,
+                  vision_dim=1280, vision_mlp_ratio=4, vision_heads=16,
+                  vision_layers=32, activation="gelu", vocab_size=64,
+                  max_text_len=514, type_size=1, pad_id=1, text_dim=64,
+                  text_heads=4, text_layers=2, text_dropout=0.0)
+    cfg = CLIPConfig(vocab_size=64, text_dim=64, text_heads=4,
+                     text_layers=2)
+    _clip_parity(ref_kw, cfg, batch=1, atol=5e-4)
 
 
 # ---------------------------------------------------------------------------
