@@ -21,6 +21,7 @@ read-only location.
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import logging
 import sys
@@ -59,29 +60,40 @@ def flash_attention_fp32(q, k, v, q_lens=None, k_lens=None, dropout_p=0.0,
     return out.to(out_dtype)
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    # A bare ModuleType has __spec__=None, which makes a LATER
+    # importlib.util.find_spec(name) raise ValueError — transformers
+    # probes find_spec("torchvision") at import time, so the T5/CLIP
+    # parity tests fail if they import transformers after these stubs
+    # are installed. Attach a real (loader-less) spec.
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _ensure_stubs():
     if "torchvision" not in sys.modules:
         # clip.py imports torchvision.transforms at module scope but only
         # uses it inside `_clip(return_transforms=True)`, which the parity
         # tests never call — an empty stub is sufficient.
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
+        tv = _stub_module("torchvision")
+        tvt = _stub_module("torchvision.transforms")
         tv.transforms = tvt
         sys.modules.update({"torchvision": tv,
                             "torchvision.transforms": tvt})
     if "diffusers" not in sys.modules:
-        cu = types.ModuleType("diffusers.configuration_utils")
+        cu = _stub_module("diffusers.configuration_utils")
 
         class ConfigMixin:
             pass
 
         cu.ConfigMixin = ConfigMixin
         cu.register_to_config = lambda fn: fn
-        mu = types.ModuleType("diffusers.models.modeling_utils")
+        mu = _stub_module("diffusers.models.modeling_utils")
         mu.ModelMixin = torch.nn.Module
-        models = types.ModuleType("diffusers.models")
+        models = _stub_module("diffusers.models")
         models.modeling_utils = mu
-        diff = types.ModuleType("diffusers")
+        diff = _stub_module("diffusers")
         diff.configuration_utils = cu
         diff.models = models
         sys.modules.update({
@@ -91,7 +103,7 @@ def _ensure_stubs():
             "diffusers.models.modeling_utils": mu,
         })
     if "logger" not in sys.modules:
-        lg = types.ModuleType("logger")
+        lg = _stub_module("logger")
         lg.logger = logging.getLogger("refwan")
         sys.modules["logger"] = lg
 
