@@ -121,6 +121,87 @@ def _upsample_nearest2x(x):
     return jnp.repeat(x, 2, axis=3)
 
 
+# Measured dead end (v5e, do not retry): folding the nearest-2x upsample
+# into the 3x3 conv (one low-res conv with 4*cout channels + depth-to-
+# space) is 1.7x faster for the conv IN ISOLATION (21.6 → 12.7 ms at the
+# 480x832 decoder shape) but regresses the full streaming decode 4964 →
+# 6046 ms: the [B,T,h,w,2,2,C]→[B,T,2h,2w,C] depth-to-space transpose
+# feeding the next resblock costs more in relayout copies than the conv
+# saves. The same transform DOES win for the RGB head (below) because the
+# head is the last op — nothing downstream re-reads its layout.
+
+
+HEAD_BLOCK = 4
+
+
+def _head_conv_weights(w, block: int = HEAD_BLOCK):
+    """[3, 3, 3, cin, 3] causal RGB-head kernel → spatially blocked
+    stride-`block` kernel [3, block+2, block+2, cin, block²·3]: tap (u,v)
+    of output parity (dy,dx) lands at window position (dy+u, dx+v)."""
+    kt, _, _, cin, cout = w.shape
+    g = block
+    win = g + 2
+    wf = jnp.zeros((kt, win, win, cin, g, g, cout), w.dtype)
+    for dy in range(g):
+        for dx in range(g):
+            wf = wf.at[:, dy:dy + 3, dx:dx + 3, :, dy, dx, :].set(w)
+    return wf.reshape(kt, win, win, cin, g * g * cout)
+
+
+def _head_conv_blocked(p, x, io: "_CacheIO", block: int = HEAD_BLOCK):
+    """Decoder head: causal 3x3x3 conv to 3 RGB channels, spatially
+    blocked so the MXU lane fill is 16x3=48/128 instead of 3/128.
+
+    Exact rewrite of `_causal_conv_step(p, x, io)` for cout=3 (bit-equal
+    at block=4 on v5e): outputs in a `block x block` spatial tile become
+    48 channels of one stride-4 window-6 conv, then depth-to-space.
+    13.7 → 8.8 ms per 4-frame 480x832 step (the N=3 conv wasted 125/128
+    MXU lanes — as expensive as a full 96-channel residual conv).
+    Weights come pre-transformed via `_optimize_decoder_params`.
+    """
+    w, bias = p["w"], p["b"]
+    kt, _, _, cin, cout = w.shape
+    b_, t, h, wd, _ = x.shape
+    if h % block or wd % block:
+        return _causal_conv_step(p, x, io)
+    # streaming cache plumbing identical to _causal_conv_step
+    cache = io.next()
+    if cache is None:
+        xin = jnp.pad(x, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
+    else:
+        xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+        io.put(xin[:, -(kt - 1):])
+
+    g = block
+    wf = p.get("wf")
+    if wf is None or wf.shape[1] != g + 2:
+        wf = _head_conv_weights(w, g)
+    y = jax.lax.conv_general_dilated(
+        xin.astype(wf.dtype), wf, (1, g, g),
+        [(0, 0), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y = y + jnp.tile(bias, g * g)
+    hb, wb = h // g, wd // g
+    y = y.reshape(b_, t, hb, wb, g, g, cout)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)           # [B,T,hb,dy,wb,dx,3]
+    return y.reshape(b_, t, h, wd, cout)
+
+
+def _optimize_decoder_params(dparams, spec):
+    """Precompute the transformed upsample / RGB-head kernels ONCE per
+    decode call (outside the streaming scan): XLA does not hoist
+    loop-invariant weight transforms out of `lax.scan` bodies, so building
+    them in-step regressed the 81f decode by ~1 s."""
+    out = []
+    for item, p in zip(spec, dparams):
+        if item[0] == "head" and p["conv"]["w"].shape[-1] <= 8:
+            p = dict(p)
+            p["conv"] = dict(p["conv"], wf=_head_conv_weights(
+                p["conv"]["w"]))
+        out.append(p)
+    return out
+
+
 def _spatial_attention(p, x):
     """Single-head per-frame self-attention (vae.py:223-263).
 
@@ -422,7 +503,10 @@ def _run_stack(spec, params, x, io: _CacheIO, first: bool):
         elif kind == "head":
             x = _rms_norm_channel(x, p["norm"]["gamma"])
             x = jax.nn.silu(x)
-            x = _causal_conv_step(p["conv"], x, io)
+            if p["conv"]["w"].shape[-1] <= 8:
+                x = _head_conv_blocked(p["conv"], x, io)   # RGB head
+            else:
+                x = _causal_conv_step(p["conv"], x, io)
     return x
 
 
@@ -533,7 +617,7 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
     memory without improving conv utilisation). Falls back to 1 when
     (Tz-1) isn't divisible."""
     spec = decoder_spec(cfg)
-    dparams = params["decoder"]
+    dparams = _optimize_decoder_params(params["decoder"], spec)
     b, zc, tz, h, w = z.shape
     zt = z.transpose(0, 2, 3, 4, 1)              # → [B, Tz, h, w, z]
 
