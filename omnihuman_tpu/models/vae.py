@@ -187,17 +187,24 @@ def _head_conv_blocked(p, x, io: "_CacheIO", block: int = HEAD_BLOCK):
     return y.reshape(b_, t, h, wd, cout)
 
 
-def _optimize_decoder_params(dparams, spec):
+def _optimize_decoder_params(dparams, spec, fused: str = ""):
     """Precompute the transformed upsample / RGB-head kernels ONCE per
     decode call (outside the streaming scan): XLA does not hoist
     loop-invariant weight transforms out of `lax.scan` bodies, so building
-    them in-step regressed the 81f decode by ~1 s."""
+    them in-step regressed the 81f decode by ~1 s. When the Pallas
+    resblock path is active, also K-pack the res conv weights."""
     out = []
     for item, p in zip(spec, dparams):
         if item[0] == "head" and p["conv"]["w"].shape[-1] <= 8:
             p = dict(p)
             p["conv"] = dict(p["conv"], wf=_head_conv_weights(
                 p["conv"]["w"]))
+        elif item[0] == "res" and fused:
+            from omnihuman_tpu.ops.vae_pallas import pack_conv_weights
+            p = dict(p)
+            for conv in ("conv1", "conv2"):
+                p[conv] = dict(p[conv],
+                               w2=pack_conv_weights(p[conv]["w"]))
         out.append(p)
     return out
 
@@ -274,12 +281,32 @@ def _causal_conv_step(p, x, io: _CacheIO, stride=(1, 1, 1)):
 # blocks
 
 
-def _residual_block(p, x, io: _CacheIO):
-    """RMS→SiLU→conv3, RMS→SiLU→conv3, + shortcut (vae.py:186-221)."""
+def _residual_block(p, x, io: _CacheIO, fused: str = ""):
+    """RMS→SiLU→conv3, RMS→SiLU→conv3, + shortcut (vae.py:186-221).
+
+    fused != "": run each norm→SiLU→causal-conv as ONE Pallas kernel
+    (ops/vae_pallas.py) — the streaming cache moves through the kernel
+    ("interpret" = interpret mode for CPU tests). Same math, one HBM
+    round-trip per conv instead of four."""
     h = x
     if "shortcut" in p:
         h = _conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"],
                     padding="valid_t")
+    if fused and io.streaming:
+        from omnihuman_tpu.ops.vae_pallas import (
+            fused_act_causal_conv3d, pack_conv_weights)
+        interp = fused == "interpret"
+        y = x
+        for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
+            w2 = p[conv].get("w2")
+            if w2 is None:
+                w2 = pack_conv_weights(p[conv]["w"])
+            y, cnew = fused_act_causal_conv3d(
+                y, io.next(), p[norm]["gamma"].astype(jnp.float32),
+                w2, p[conv]["b"].astype(jnp.float32), interpret=interp,
+                out_dtype=x.dtype)
+            io.put(cnew.astype(x.dtype))
+        return y + h
     y = _rms_norm_channel(x, p["norm1"]["gamma"])
     y = jax.nn.silu(y)
     y = _causal_conv_step(p["conv1"], y, io)
@@ -489,13 +516,14 @@ def init_vae(key: jax.Array, cfg: VAEConfig) -> Params:
 # apply
 
 
-def _run_stack(spec, params, x, io: _CacheIO, first: bool):
+def _run_stack(spec, params, x, io: _CacheIO, first: bool,
+               fused: str = ""):
     for item, p in zip(spec, params):
         kind = item[0]
         if kind in ("conv_in",):
             x = _causal_conv_step(p["conv"], x, io)
         elif kind == "res":
-            x = _residual_block(p, x, io)
+            x = _residual_block(p, x, io, fused=fused)
         elif kind == "attn":
             x = _spatial_attention(p, x)
         elif kind == "resample":
@@ -608,16 +636,31 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
 
 def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
                streaming: bool = True, clamp: bool = True,
-               frame_chunk: int = 1) -> jnp.ndarray:
+               frame_chunk: int = 1, scan_unroll: int = 1,
+               conv_impl: str = "auto") -> jnp.ndarray:
     """normalized latent [B, z, Tz, h, w] → video [B, 3, 1+4(Tz-1), 8h, 8w]
     (reference decode, vae.py:544-566).
 
     frame_chunk: latent frames per streaming scan step (same outputs for
     any value; measured on v5e: 1 is fastest — larger chunks raise peak
     memory without improving conv utilisation). Falls back to 1 when
-    (Tz-1) isn't divisible."""
+    (Tz-1) isn't divisible.
+
+    scan_unroll: lax.scan unroll factor for the streaming loop (same
+    outputs; lets XLA fuse layouts across consecutive steps).
+
+    conv_impl: "auto" (currently XLA everywhere — flip to Pallas on TPU
+    once the kernel is re-verified on a real chip), "xla", "pallas", or
+    "pallas_interpret" (CPU tests)."""
     spec = decoder_spec(cfg)
-    dparams = _optimize_decoder_params(params["decoder"], spec)
+    if conv_impl == "auto":
+        conv_impl = "xla"
+    fused = {"xla": "", "pallas": "pallas",
+             "pallas_interpret": "interpret"}[conv_impl]
+    if not streaming:
+        fused = ""
+    dparams = _optimize_decoder_params(params["decoder"], spec,
+                                       fused=fused)
     b, zc, tz, h, w = z.shape
     zt = z.transpose(0, 2, 3, 4, 1)              # → [B, Tz, h, w, z]
 
@@ -632,7 +675,8 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
         caches = _zero_caches(spec, dparams, b, h, w, cfg, z.dtype,
                               encoder=False)
         io0 = _CacheIO(caches)
-        out0 = _run_stack(spec, dparams, x[:, :1], io0, first=True)
+        out0 = _run_stack(spec, dparams, x[:, :1], io0, first=True,
+                          fused=fused)
         if tz > 1:
             fc = frame_chunk if (tz - 1) % frame_chunk == 0 else 1
             frames = x[:, 1:].reshape(b, (tz - 1) // fc, fc, h, w,
@@ -642,10 +686,12 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
 
             def step(caches, frame):
                 io = _CacheIO(caches)
-                y = _run_stack(spec, dparams, frame, io, first=False)
+                y = _run_stack(spec, dparams, frame, io, first=False,
+                               fused=fused)
                 return io.out, y
 
-            _, outs = jax.lax.scan(step, io0.out, frames)
+            _, outs = jax.lax.scan(step, io0.out, frames,
+                                   unroll=scan_unroll)
             # outs: [tz-1, B, 4, H, W, 3] → [B, 4(tz-1), H, W, 3]
             outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
                 b, -1, outs.shape[3], outs.shape[4], outs.shape[5])

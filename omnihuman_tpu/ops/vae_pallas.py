@@ -1,0 +1,174 @@
+"""Fused RMSnorm → SiLU → causal 3x3x3 conv as a Pallas TPU kernel.
+
+This is the VAE decoder's hot op (reference wan/modules/vae.py:186-221:
+every residual block is norm → SiLU → CausalConv3d twice). The XLA
+lowering pays, per conv, a full HBM round-trip for the norm, another for
+the SiLU, a relayout copy of the streaming-cache concat, and a halo pad —
+measured ~50% of streaming-decode wall time at 480x832 (REPORTS/perf_r3).
+
+Kernel design (one pass over the tile, everything resident in VMEM):
+  - grid over (batch, H tiles, W tiles); T (≤4 frames/chunk) stays whole.
+  - input block is read with a +2 halo on H/W via `pl.Element` indexing
+    (overlapping reads), from an input the caller zero-pads by 1 — the
+    reference's SAME spatial padding (vae.py:17-35).
+  - channel RMS-norm (vae.py:39-54) and SiLU are computed in fp32 on the
+    fly; the activated tile is concatenated with the 2-frame streaming
+    cache (already activated, matching `_causal_conv_step` semantics).
+  - the 27-tap conv becomes ONE K-packed matmul per tile:
+    im2col into a [T·th·tw, 27·Cin] VMEM scratch, then
+    Xc @ W[27·Cin, Cout] with fp32 accumulation. K = 27·Cin ≥ 2592 keeps
+    the MXU K-dimension full where a per-tap [.,C]@[C,C] loop would run
+    at C/128 lane fill.
+  - the updated cache (last 2 activated frames) is a second output —
+    the streaming scan carries it to the next chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the 16 MB limit
+
+
+def _silu_rms(x_f32, gamma, c):
+    """reference RMS_norm (vae.py:39-54): F.normalize * sqrt(C) * gamma,
+    then SiLU — with the same rounding points as models/vae.py
+    (_rms_norm_channel casts to bf16 BEFORE the SiLU)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x_f32), axis=-1, keepdims=True))
+    y = x_f32 * (math.sqrt(c) / jnp.maximum(norm, 1e-12))
+    y = (y * gamma).astype(jnp.bfloat16)
+    return y * jax.nn.sigmoid(y)
+
+
+def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref,
+            y_ref, ctail_ref, xc_ref, *, t, th, tw, cin, cout, out_dtype):
+    x = x_ref[0].astype(jnp.float32)                 # [T, th+2, tw+2, Cin]
+    a = _silu_rms(x, gamma_ref[...].astype(jnp.float32), cin
+                  ).astype(jnp.bfloat16)
+    xin = jnp.concatenate([cache_ref[0].astype(jnp.bfloat16), a], axis=0)
+    # im2col: column block (dt, dy, dx) = the tap's shifted window
+    idx = 0
+    for dt in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                tap = xin[dt:dt + t, dy:dy + th, dx:dx + tw, :]
+                xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
+                    t * th * tw, cin)
+                idx += 1
+    acc = jax.lax.dot_general(
+        xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    acc = acc + b_ref[...].astype(jnp.float32)
+    y_ref[0] = acc.reshape(t, th, tw, cout).astype(out_dtype)
+    # updated streaming cache: last 2 frames of the activated input
+    # stream (works for t == 1, where one frame comes from the old cache)
+    ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + tw, :].astype(
+        jnp.bfloat16)
+
+
+def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
+                ) -> Tuple[int, int]:
+    """Largest (th, tw) whose working set fits the VMEM budget."""
+    w_bytes = 27 * cin * cout * 2
+
+    def fits(th, tw):
+        xc = t * th * tw * 27 * cin * 2
+        xin = (t + 2) * (th + 2) * (tw + 2) * cin * 2 * 2  # x + concat
+        acc = t * th * tw * cout * 4
+        out = t * th * tw * cout * 2
+        return w_bytes + xc + xin + acc + out <= VMEM_BUDGET
+
+    best = None
+    for th in (8, 4, 2, 1):
+        th = min(th, h)
+        tw = min(w, 512)
+        while tw >= 1 and not fits(th, tw):
+            tw = tw - 8 if tw > 8 else tw - 1
+        if tw >= 1:
+            cost = (-(-h // th)) * th * (-(-w // tw)) * tw
+            if best is None or cost < best[0]:
+                best = (cost, th, tw)
+    if best is None:
+        raise ValueError(f"no tile fits VMEM for C={cin}->{cout}")
+    return best[1], best[2]
+
+
+def pack_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, 3, Cin, Cout] → K-packed [27·Cin, Cout] bf16 (row order
+    (dt, dy, dx, ci) matches the kernel's im2col column order). Do this
+    OUTSIDE any lax.scan: XLA does not hoist loop-invariant transforms."""
+    kt, kh, kw, cin, cout = w.shape
+    return w.reshape(kt * kh * kw * cin, cout).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "interpret", "out_dtype"))
+def fused_act_causal_conv3d(
+    x: jnp.ndarray,                 # [B, T, H, W, Cin] pre-activation
+    cache: jnp.ndarray,             # [B, 2, H, W, Cin] activated history
+    gamma: jnp.ndarray,             # [Cin]
+    w2: jnp.ndarray,                # [27·Cin, Cout] (pack_conv_weights)
+    b: jnp.ndarray,                 # [Cout]
+    tile_h: Optional[int] = None,
+    tile_w: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (conv output [B, T, H, W, Cout],
+    updated cache = activated last 2 frames [B, 2, H, W, Cin])."""
+    bsz, t, h, wd, cin = x.shape
+    cout = w2.shape[-1]
+    if tile_h is None or tile_w is None:
+        tile_h, tile_w = _pick_tiles(t, h, wd, cin, cout)
+    th, tw = tile_h, tile_w
+    nh, nw = -(-h // th), -(-wd // tw)
+
+    # zero-pad: +1 halo on each side, then up to tile multiples
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h),
+                     (1, 1 + nw * tw - wd), (0, 0)))
+    cp = jnp.pad(cache, ((0, 0), (0, 0), (1, 1 + nh * th - h),
+                         (1, 1 + nw * tw - wd), (0, 0)))
+
+    halo_spec = pl.BlockSpec(
+        (1, t, pl.Element(th + 2), pl.Element(tw + 2), cin),
+        lambda bi, i, j: (bi, 0, i * th, j * tw, 0))
+    cache_spec = pl.BlockSpec(
+        (1, 2, pl.Element(th + 2), pl.Element(tw + 2), cin),
+        lambda bi, i, j: (bi, 0, i * th, j * tw, 0))
+
+    y, ctail = pl.pallas_call(
+        functools.partial(_kernel, t=t, th=th, tw=tw, cin=cin, cout=cout,
+                          out_dtype=out_dtype),
+        grid=(bsz, nh, nw),
+        in_specs=[
+            pl.BlockSpec((cin,), lambda bi, i, j: (0,)),
+            pl.BlockSpec((27 * cin, cout), lambda bi, i, j: (0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i, j: (0,)),
+            halo_spec,
+            cache_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, th, tw, cout),
+                         lambda bi, i, j: (bi, 0, i, j, 0)),
+            pl.BlockSpec((1, 2, th, tw, cin),
+                         lambda bi, i, j: (bi, 0, i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, t, nh * th, nw * tw, cout),
+                                 out_dtype),
+            jax.ShapeDtypeStruct((bsz, 2, nh * th, nw * tw, cin),
+                                 jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((t * th * tw, 27 * cin), jnp.bfloat16)],
+        interpret=interpret,
+    )(gamma, w2, b, xp, cp)
+    return y[:, :, :h, :wd], ctail[:, :, :h, :wd]

@@ -121,3 +121,57 @@ def test_spec_matches_reference_structure():
     assert sum(1 for it in ds if it[0] == "res") == 14
     assert sum(1 for it in es if it[0] == "resample") == 3
     assert sum(1 for it in ds if it[0] == "resample") == 3
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused resblock path (ops/vae_pallas.py)
+
+
+def _bf16(tree):
+    return jax.tree.map(lambda t: t.astype(jnp.bfloat16), tree)
+
+
+def test_decode_pallas_fused_matches_xla(vae_params):
+    """Streaming decode with the fused norm→SiLU→conv Pallas kernels
+    (interpret mode on CPU) must match the XLA path at bf16 tolerance."""
+    rng = np.random.default_rng(7)
+    params = _bf16(vae_params)
+    z = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 4)), jnp.bfloat16)
+    y_xla = vae_decode(params, z, TINY, streaming=True, clamp=False,
+                       conv_impl="xla")
+    y_pal = vae_decode(params, z, TINY, streaming=True, clamp=False,
+                       conv_impl="pallas_interpret")
+    assert y_pal.shape == y_xla.shape
+    a = np.asarray(y_xla, np.float32)
+    b = np.asarray(y_pal, np.float32)
+    # bf16 rounding compounds over ~10 conv layers: bound the tail AND
+    # the bulk (measured: max ~6e-2, rms ~7e-3 at out-rms 0.26)
+    np.testing.assert_allclose(a, b, atol=1.5e-1, rtol=1.5e-1)
+    assert float(np.sqrt(((a - b) ** 2).mean())) < 2e-2
+
+
+def test_fused_kernel_parity_vs_xla_ops():
+    """Single fused kernel call == norm→SiLU→concat→conv in XLA ops,
+    on a non-tile-divisible shape with cin != cout."""
+    from omnihuman_tpu.models.vae import _conv3d, _rms_norm_channel
+    from omnihuman_tpu.ops.vae_pallas import (
+        fused_act_causal_conv3d, pack_conv_weights)
+    rng = np.random.default_rng(11)
+    B, T, H, W, Ci, Co = 2, 4, 9, 13, 16, 24
+    x = jnp.asarray(rng.normal(size=(B, T, H, W, Ci)), jnp.bfloat16)
+    cache = jnp.asarray(rng.normal(size=(B, 2, H, W, Ci)), jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(size=(Ci,)) * 0.5 + 1.0, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(Co,)) * 0.1, jnp.float32)
+
+    a = jax.nn.silu(_rms_norm_channel(x, gamma)).astype(jnp.bfloat16)
+    xin = jnp.concatenate([cache, a], axis=1)
+    ref = _conv3d(xin, w, b.astype(jnp.bfloat16), padding="valid_t")
+
+    y, ct = fused_act_causal_conv3d(x, cache, gamma, pack_conv_weights(w),
+                                    b, tile_h=4, tile_w=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_array_equal(np.asarray(ct, np.float32),
+                                  np.asarray(xin[:, -2:], np.float32))
