@@ -77,6 +77,47 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3)
     p50 = float(np.percentile(times, 50))
 
+    # --- extra serving metrics (VERDICT r2 item 5): VAE streaming decode
+    # and the APT one-step (batch-1, no CFG) DiT forward ---
+    extra = {}
+    try:
+        from omnihuman_tpu.models.vae import init_vae, vae_decode
+
+        @jax.jit
+        def one_step(params, x1, t1, ctx1):
+            return wan_model_forward(params, x1, t1, ctx1, cfg=cfg.model,
+                                     seq_len=seq_len, rope_sin=sin,
+                                     rope_cos=cos, remat=False)
+
+        x1, t1, ctx1 = x[:1], t[:1], ctx[:1]
+        float(jnp.sum(one_step(params, x1, t1, ctx1)[:, 0, 0, 0, 0]))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(one_step(params, x1, t1, ctx1)[:, 0, 0, 0, 0]))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        extra["apt_one_step_dit_ms"] = round(
+            float(np.percentile(ts, 50)), 1)
+
+        vae_params = jax.jit(lambda k: jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16),
+            init_vae(k, cfg.vae)))(jax.random.key(1))
+        jax.block_until_ready(vae_params)
+        z = jnp.asarray(rng.normal(size=(1, 16, frames, h, w)),
+                        jnp.bfloat16)
+        dec = jax.jit(lambda p, z: vae_decode(p, z, cfg.vae,
+                                              streaming=True))
+        float(jnp.sum(dec(vae_params, z)[:, 0, 0, 0, 0]))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(dec(vae_params, z)[:, 0, 0, 0, 0]))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        extra["vae_decode_81f_480x832_ms"] = round(
+            float(np.percentile(ts, 50)), 1)
+    except Exception as e:          # extras must never break the bench
+        extra["error"] = f"{type(e).__name__}: {e}"
+
     target_ms = 30_000.0 * 8 / 50      # 4800 chip-ms per CFG step
     print(json.dumps({
         "metric": "p50 CFG denoise-step latency, Wan-1.3B 480x832x81f "
@@ -84,6 +125,7 @@ def main():
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / p50, 3),
+        "extra": extra,
     }))
 
 

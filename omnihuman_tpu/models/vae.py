@@ -592,11 +592,22 @@ def _latent_scale(cfg: VAEConfig):
 
 
 def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
-               streaming: bool = True) -> jnp.ndarray:
+               streaming: bool = True,
+               conv_impl: str = "auto") -> jnp.ndarray:
     """[B, 3, T, H, W] (T = 1+4k) → normalized latent mu
-    [B, z, 1+k, H/8, W/8] (reference encode, vae.py:515-541)."""
+    [B, z, 1+k, H/8, W/8] (reference encode, vae.py:515-541).
+
+    conv_impl: see vae_decode — the encoder resblocks share the fused
+    Pallas norm→SiLU→conv path."""
     spec = encoder_spec(cfg)
-    eparams = params["encoder"]
+    if conv_impl == "auto":
+        conv_impl = "xla"
+    fused = {"xla": "", "pallas": "pallas",
+             "pallas_interpret": "interpret"}[conv_impl]
+    if not streaming:
+        fused = ""
+    eparams = _optimize_decoder_params(params["encoder"], spec,
+                                       fused=fused)
     b, _, t, h, w = video.shape
     x = video.transpose(0, 2, 3, 4, 1)           # → [B, T, H, W, 3]
 
@@ -606,7 +617,8 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
         caches = _zero_caches(spec, eparams, b, h, w, cfg, x.dtype,
                               encoder=True)
         io0 = _CacheIO(caches)
-        out0 = _run_stack(spec, eparams, x[:, :1], io0, first=True)
+        out0 = _run_stack(spec, eparams, x[:, :1], io0, first=True,
+                          fused=fused)
 
         k = (t - 1) // 4
         if k > 0:
@@ -615,7 +627,8 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
 
             def step(caches, chunk):
                 io = _CacheIO(caches)
-                y = _run_stack(spec, eparams, chunk, io, first=False)
+                y = _run_stack(spec, eparams, chunk, io, first=False,
+                               fused=fused)
                 return io.out, y
 
             _, outs = jax.lax.scan(step, io0.out, chunks)

@@ -175,3 +175,17 @@ def test_fused_kernel_parity_vs_xla_ops():
                                atol=5e-2, rtol=5e-2)
     np.testing.assert_array_equal(np.asarray(ct, np.float32),
                                   np.asarray(xin[:, -2:], np.float32))
+
+
+def test_encode_pallas_fused_matches_xla(vae_params):
+    params = _bf16(vae_params)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 3, 13, 32, 32)) * 0.5,
+                    jnp.bfloat16)
+    z_xla = vae_encode(params, x, TINY, streaming=True, conv_impl="xla")
+    z_pal = vae_encode(params, x, TINY, streaming=True,
+                       conv_impl="pallas_interpret")
+    a = np.asarray(z_xla, np.float32)
+    b = np.asarray(z_pal, np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-1, rtol=1e-1)
+    assert float(np.sqrt(((a - b) ** 2).mean())) < 2e-2
