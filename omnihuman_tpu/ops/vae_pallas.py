@@ -7,18 +7,20 @@ the SiLU, a relayout copy of the streaming-cache concat, and a halo pad —
 measured ~50% of streaming-decode wall time at 480x832 (REPORTS/perf_r3).
 
 Kernel design (one pass over the tile, everything resident in VMEM):
-  - grid over (batch, H tiles, W tiles); T (≤4 frames/chunk) stays whole.
-  - input block is read with a +2 halo on H/W via `pl.Element` indexing
-    (overlapping reads), from an input the caller zero-pads by 1 — the
-    reference's SAME spatial padding (vae.py:17-35).
+  - grid over (batch, H tiles); W and T (≤4 frames/chunk) stay whole per
+    block. The H tile is read with a +2 halo via all-`pl.Element`
+    BlockSpecs (overlapping element-offset windows) from an input the
+    caller zero-pads by 1 — the reference's SAME spatial padding
+    (vae.py:17-35). H is a third-minor dimension, so the overlapping
+    block needs no (8, 128) alignment; W and C stay whole-array.
   - channel RMS-norm (vae.py:39-54) and SiLU are computed in fp32 on the
     fly; the activated tile is concatenated with the 2-frame streaming
     cache (already activated, matching `_causal_conv_step` semantics).
-  - the 27-tap conv becomes ONE K-packed matmul per tile:
-    im2col into a [T·th·tw, 27·Cin] VMEM scratch, then
-    Xc @ W[27·Cin, Cout] with fp32 accumulation. K = 27·Cin ≥ 2592 keeps
-    the MXU K-dimension full where a per-tap [.,C]@[C,C] loop would run
-    at C/128 lane fill.
+  - the 27-tap conv becomes K-packed matmuls over W chunks:
+    im2col into a [T·th·wc, 27·Cin] VMEM scratch, then
+    Xc @ W2[27·Cin, Cout] with fp32 accumulation. K = 27·Cin ≥ 2592
+    keeps the MXU K-dimension full where a per-tap [.,C]@[C,C] loop
+    would run at C/128 lane fill.
   - the updated cache (last 2 activated frames) is a second output —
     the streaming scan carries it to the next chunk.
 """
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the 16 MB limit
+VMEM_BUDGET = 13 * 1024 * 1024   # leave headroom under the 16 MB limit
 
 
 def _silu_rms(x_f32, gamma, c):
@@ -44,61 +46,72 @@ def _silu_rms(x_f32, gamma, c):
     norm = jnp.sqrt(jnp.sum(jnp.square(x_f32), axis=-1, keepdims=True))
     y = x_f32 * (math.sqrt(c) / jnp.maximum(norm, 1e-12))
     y = (y * gamma).astype(jnp.bfloat16)
-    return y * jax.nn.sigmoid(y)
+    # sigmoid in f32: Mosaic rejects the f32-scalar -> bf16-vector
+    # broadcast inside sigmoid(bf16); the bf16 rounding point above is
+    # what parity with models/vae.py cares about
+    yf = y.astype(jnp.float32)
+    return (yf * jax.nn.sigmoid(yf)).astype(jnp.bfloat16)
 
 
 def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref,
-            y_ref, ctail_ref, xc_ref, *, t, th, tw, cin, cout, out_dtype):
-    x = x_ref[0].astype(jnp.float32)                 # [T, th+2, tw+2, Cin]
+            y_ref, ctail_ref, xc_ref, *, t, th, wc, wd, cin, cout,
+            out_dtype):
+    # x_ref: [1, T, th+2, W+2, Cin] raw; cache_ref: [1, 2, th+2, W+2, Cin]
+    x = x_ref[0].astype(jnp.float32)
     a = _silu_rms(x, gamma_ref[...].astype(jnp.float32), cin
                   ).astype(jnp.bfloat16)
     xin = jnp.concatenate([cache_ref[0].astype(jnp.bfloat16), a], axis=0)
-    # im2col: column block (dt, dy, dx) = the tap's shifted window
-    idx = 0
-    for dt in range(3):
-        for dy in range(3):
-            for dx in range(3):
-                tap = xin[dt:dt + t, dy:dy + th, dx:dx + tw, :]
-                xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
-                    t * th * tw, cin)
-                idx += 1
-    acc = jax.lax.dot_general(
-        xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
-    acc = acc + b_ref[...].astype(jnp.float32)
-    y_ref[0] = acc.reshape(t, th, tw, cout).astype(out_dtype)
+    bias = b_ref[...].astype(jnp.float32)
+    for wj in range(wd // wc):
+        # im2col: column block (dt, dy, dx) = the tap's shifted window
+        idx = 0
+        for dt in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = xin[dt:dt + t, dy:dy + th,
+                              dx + wj * wc:dx + wj * wc + wc, :]
+                    xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
+                        t * th * wc, cin)
+                    idx += 1
+        acc = jax.lax.dot_general(
+            xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        y_ref[0, :, :, wj * wc:(wj + 1) * wc, :] = (
+            acc + bias).reshape(t, th, wc, cout).astype(out_dtype)
     # updated streaming cache: last 2 frames of the activated input
     # stream (works for t == 1, where one frame comes from the old cache)
-    ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + tw, :].astype(
+    ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + wd, :].astype(
         jnp.bfloat16)
 
 
 def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
                 ) -> Tuple[int, int]:
-    """Largest (th, tw) whose working set fits the VMEM budget."""
+    """(th, wc): H tile height and inner im2col W-chunk width whose
+    working set fits the VMEM budget. wc must divide w."""
     w_bytes = 27 * cin * cout * 2
+    divisors = [d for d in range(min(w, 256), 0, -1) if w % d == 0]
 
-    def fits(th, tw):
-        xc = t * th * tw * 27 * cin * 2
-        xin = (t + 2) * (th + 2) * (tw + 2) * cin * 2 * 2  # x + concat
-        acc = t * th * tw * cout * 4
-        out = t * th * tw * cout * 2
-        return w_bytes + xc + xin + acc + out <= VMEM_BUDGET
+    def fits(th, wc):
+        xc = t * th * wc * 27 * cin * 2
+        xin = (2 * t + 2) * (th + 2) * (w + 2) * cin * 2   # x + a + concat
+        acc = t * th * wc * cout * 4
+        out = t * th * w * cout * 2
+        tail = 2 * (th + 2) * (w + 2) * cin * 2
+        return w_bytes + xc + xin + acc + out + tail <= VMEM_BUDGET
 
-    best = None
     for th in (8, 4, 2, 1):
-        th = min(th, h)
-        tw = min(w, 512)
-        while tw >= 1 and not fits(th, tw):
-            tw = tw - 8 if tw > 8 else tw - 1
-        if tw >= 1:
-            cost = (-(-h // th)) * th * (-(-w // tw)) * tw
-            if best is None or cost < best[0]:
-                best = (cost, th, tw)
-    if best is None:
-        raise ValueError(f"no tile fits VMEM for C={cin}->{cout}")
-    return best[1], best[2]
+        if th > h:
+            continue
+        for wc in divisors:
+            if t * th * wc >= 128 and fits(th, wc):
+                return th, wc
+    # tiny fallback: smallest chunk that fits
+    for th in (2, 1):
+        for wc in divisors:
+            if fits(th, wc):
+                return th, wc
+    raise ValueError(f"no tile fits VMEM for C={cin}->{cout} at W={w}")
 
 
 def pack_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
@@ -129,46 +142,48 @@ def fused_act_causal_conv3d(
     cout = w2.shape[-1]
     if tile_h is None or tile_w is None:
         tile_h, tile_w = _pick_tiles(t, h, wd, cin, cout)
-    th, tw = tile_h, tile_w
-    nh, nw = -(-h // th), -(-wd // tw)
+    th, wc = tile_h, tile_w
+    if wd % wc:
+        raise ValueError(f"tile_w={wc} must divide W={wd}")
+    nh = -(-h // th)
 
-    # zero-pad: +1 halo on each side, then up to tile multiples
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h),
-                     (1, 1 + nw * tw - wd), (0, 0)))
-    cp = jnp.pad(cache, ((0, 0), (0, 0), (1, 1 + nh * th - h),
-                         (1, 1 + nw * tw - wd), (0, 0)))
+    # zero-pad: +1 spatial halo on each side; H also up to a th multiple
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
+                     (0, 0)))
+    cp = jnp.pad(cache, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
+                         (0, 0)))
 
-    halo_spec = pl.BlockSpec(
-        (1, t, pl.Element(th + 2), pl.Element(tw + 2), cin),
-        lambda bi, i, j: (bi, 0, i * th, j * tw, 0))
-    cache_spec = pl.BlockSpec(
-        (1, 2, pl.Element(th + 2), pl.Element(tw + 2), cin),
-        lambda bi, i, j: (bi, 0, i * th, j * tw, 0))
+    # overlapping H-halo reads: all-Element specs (element offsets); W/C
+    # whole so the (8,128) minor-dim rule is satisfied by array equality
+    def halo_spec(nt):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(nt), pl.Element(th + 2),
+             pl.Element(wd + 2), pl.Element(cin)),
+            lambda bi, i: (bi, 0, i * th, 0, 0))
 
     y, ctail = pl.pallas_call(
-        functools.partial(_kernel, t=t, th=th, tw=tw, cin=cin, cout=cout,
-                          out_dtype=out_dtype),
-        grid=(bsz, nh, nw),
+        functools.partial(_kernel, t=t, th=th, wc=wc, wd=wd, cin=cin,
+                          cout=cout, out_dtype=out_dtype),
+        grid=(bsz, nh),
         in_specs=[
-            pl.BlockSpec((cin,), lambda bi, i, j: (0,)),
-            pl.BlockSpec((27 * cin, cout), lambda bi, i, j: (0, 0)),
-            pl.BlockSpec((cout,), lambda bi, i, j: (0,)),
-            halo_spec,
-            cache_spec,
+            pl.BlockSpec((cin,), lambda bi, i: (0,)),
+            pl.BlockSpec((27 * cin, cout), lambda bi, i: (0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            halo_spec(t),
+            halo_spec(2),
         ],
         out_specs=[
-            pl.BlockSpec((1, t, th, tw, cout),
-                         lambda bi, i, j: (bi, 0, i, j, 0)),
-            pl.BlockSpec((1, 2, th, tw, cin),
-                         lambda bi, i, j: (bi, 0, i, j, 0)),
+            pl.BlockSpec((1, t, th, wd, cout),
+                         lambda bi, i: (bi, 0, i, 0, 0)),
+            pl.BlockSpec((1, 2, th, wd, cin),
+                         lambda bi, i: (bi, 0, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, t, nh * th, nw * tw, cout),
-                                 out_dtype),
-            jax.ShapeDtypeStruct((bsz, 2, nh * th, nw * tw, cin),
+            jax.ShapeDtypeStruct((bsz, t, nh * th, wd, cout), out_dtype),
+            jax.ShapeDtypeStruct((bsz, 2, nh * th, wd, cin),
                                  jnp.bfloat16),
         ],
-        scratch_shapes=[pltpu.VMEM((t * th * tw, 27 * cin), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((t * th * wc, 27 * cin), jnp.bfloat16)],
         interpret=interpret,
     )(gamma, w2, b, xp, cp)
-    return y[:, :, :h, :wd], ctail[:, :, :h, :wd]
+    return y[:, :, :h], ctail[:, :, :h]

@@ -169,12 +169,15 @@ def test_fused_kernel_parity_vs_xla_ops():
     ref = _conv3d(xin, w, b.astype(jnp.bfloat16), padding="valid_t")
 
     y, ct = fused_act_causal_conv3d(x, cache, gamma, pack_conv_weights(w),
-                                    b, tile_h=4, tile_w=8, interpret=True)
+                                    b, interpret=True)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref, np.float32),
                                atol=5e-2, rtol=5e-2)
-    np.testing.assert_array_equal(np.asarray(ct, np.float32),
-                                  np.asarray(xin[:, -2:], np.float32))
+    # cache tail: the kernel evaluates the SiLU sigmoid in f32 (Mosaic
+    # rejects sigmoid-of-bf16), so allow bf16 1-ulp wobble vs the XLA path
+    np.testing.assert_allclose(np.asarray(ct, np.float32),
+                               np.asarray(xin[:, -2:], np.float32),
+                               atol=2e-2, rtol=1e-2)
 
 
 def test_encode_pallas_fused_matches_xla(vae_params):
