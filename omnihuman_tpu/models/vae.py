@@ -296,17 +296,21 @@ def _residual_block(p, x, io: _CacheIO, fused: str = ""):
         from omnihuman_tpu.ops.vae_pallas import (
             fused_act_causal_conv3d, pack_conv_weights)
         interp = fused == "interpret"
+        identity = "shortcut" not in p
         y = x
         for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
             w2 = p[conv].get("w2")
             if w2 is None:
                 w2 = pack_conv_weights(p[conv]["w"])
+            # the identity skip (+x) fuses into conv2's epilogue; the
+            # shortcut variant keeps the XLA 1x1-conv + add below
+            res = x if identity and conv == "conv2" else None
             y, cnew = fused_act_causal_conv3d(
                 y, io.next(), p[norm]["gamma"].astype(jnp.float32),
-                w2, p[conv]["b"].astype(jnp.float32), interpret=interp,
-                out_dtype=x.dtype)
+                w2, p[conv]["b"].astype(jnp.float32), residual=res,
+                interpret=interp, out_dtype=x.dtype)
             io.put(cnew.astype(x.dtype))
-        return y + h
+        return y if identity else y + h
     y = _rms_norm_channel(x, p["norm1"]["gamma"])
     y = jax.nn.silu(y)
     y = _causal_conv_step(p["conv1"], y, io)

@@ -53,10 +53,14 @@ def _silu_rms(x_f32, gamma, c):
     return (yf * jax.nn.sigmoid(yf)).astype(jnp.bfloat16)
 
 
-def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref,
-            y_ref, ctail_ref, xc_ref, *, t, th, wc, wd, cin, cout,
-            out_dtype):
+def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref, *refs,
+            t, th, wc, wd, cin, cout, out_dtype, add_residual):
     # x_ref: [1, T, th+2, W+2, Cin] raw; cache_ref: [1, 2, th+2, W+2, Cin]
+    if add_residual:
+        res_ref, y_ref, ctail_ref, xc_ref = refs
+    else:
+        y_ref, ctail_ref, xc_ref = refs
+        res_ref = None
     x = x_ref[0].astype(jnp.float32)
     a = _silu_rms(x, gamma_ref[...].astype(jnp.float32), cin
                   ).astype(jnp.bfloat16)
@@ -77,8 +81,13 @@ def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref,
             xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
-        y_ref[0, :, :, wj * wc:(wj + 1) * wc, :] = (
-            acc + bias).reshape(t, th, wc, cout).astype(out_dtype)
+        acc = (acc + bias).reshape(t, th, wc, cout)
+        if add_residual:
+            # fused resblock identity skip (vae.py:186-221): the caller
+            # passes the BLOCK input (not this conv's input) as res_ref
+            acc = acc + res_ref[0, :, :, wj * wc:(wj + 1) * wc, :
+                                ].astype(jnp.float32)
+        y_ref[0, :, :, wj * wc:(wj + 1) * wc, :] = acc.astype(out_dtype)
     # updated streaming cache: last 2 frames of the activated input
     # stream (works for t == 1, where one frame comes from the old cache)
     ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + wd, :].astype(
@@ -96,7 +105,9 @@ def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
         xc = t * th * wc * 27 * cin * 2
         xin = (2 * t + 2) * (th + 2) * (w + 2) * cin * 2   # x + a + concat
         acc = t * th * wc * cout * 4
-        out = t * th * w * cout * 2
+        # out counted twice: the optional fused-residual input block has
+        # the same footprint as the output block
+        out = 2 * t * th * w * cout * 2
         tail = 2 * (th + 2) * (w + 2) * cin * 2
         return w_bytes + xc + xin + acc + out + tail <= VMEM_BUDGET
 
@@ -131,13 +142,17 @@ def fused_act_causal_conv3d(
     gamma: jnp.ndarray,             # [Cin]
     w2: jnp.ndarray,                # [27·Cin, Cout] (pack_conv_weights)
     b: jnp.ndarray,                 # [Cout]
+    residual: Optional[jnp.ndarray] = None,   # [B, T, H, W, Cout]
     tile_h: Optional[int] = None,
     tile_w: Optional[int] = None,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (conv output [B, T, H, W, Cout],
-    updated cache = activated last 2 frames [B, 2, H, W, Cin])."""
+    updated cache = activated last 2 frames [B, 2, H, W, Cin]).
+
+    residual: fuses the resblock skip (+residual) into the epilogue."""
+    add_residual = residual is not None
     bsz, t, h, wd, cin = x.shape
     cout = w2.shape[-1]
     if tile_h is None or tile_w is None:
@@ -161,17 +176,27 @@ def fused_act_causal_conv3d(
              pl.Element(wd + 2), pl.Element(cin)),
             lambda bi, i: (bi, 0, i * th, 0, 0))
 
+    in_specs = [
+        pl.BlockSpec((cin,), lambda bi, i: (0,)),
+        pl.BlockSpec((27 * cin, cout), lambda bi, i: (0, 0)),
+        pl.BlockSpec((cout,), lambda bi, i: (0,)),
+        halo_spec(t),
+        halo_spec(2),
+    ]
+    inputs = [gamma, w2, b, xp, cp]
+    if add_residual:
+        rp = jnp.pad(residual, ((0, 0), (0, 0), (0, nh * th - h),
+                                (0, 0), (0, 0)))
+        in_specs.append(pl.BlockSpec((1, t, th, wd, cout),
+                                     lambda bi, i: (bi, 0, i, 0, 0)))
+        inputs.append(rp)
+
     y, ctail = pl.pallas_call(
         functools.partial(_kernel, t=t, th=th, wc=wc, wd=wd, cin=cin,
-                          cout=cout, out_dtype=out_dtype),
+                          cout=cout, out_dtype=out_dtype,
+                          add_residual=add_residual),
         grid=(bsz, nh),
-        in_specs=[
-            pl.BlockSpec((cin,), lambda bi, i: (0,)),
-            pl.BlockSpec((27 * cin, cout), lambda bi, i: (0, 0)),
-            pl.BlockSpec((cout,), lambda bi, i: (0,)),
-            halo_spec(t),
-            halo_spec(2),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, t, th, wd, cout),
                          lambda bi, i: (bi, 0, i, 0, 0)),
@@ -185,5 +210,5 @@ def fused_act_causal_conv3d(
         ],
         scratch_shapes=[pltpu.VMEM((t * th * wc, 27 * cin), jnp.bfloat16)],
         interpret=interpret,
-    )(gamma, w2, b, xp, cp)
+    )(*inputs)
     return y[:, :, :h], ctail[:, :, :h]
