@@ -205,6 +205,10 @@ def _optimize_decoder_params(dparams, spec, fused: str = ""):
             for conv in ("conv1", "conv2"):
                 p[conv] = dict(p[conv],
                                w2=pack_conv_weights(p[conv]["w"]))
+        elif (item[0] == "resample" and fused
+              and item[2].startswith("upsample")):
+            from omnihuman_tpu.ops.vae_pallas import pack_upsample_weights
+            p = dict(p, w4=pack_upsample_weights(p["conv"]["w"]))
         out.append(p)
     return out
 
@@ -375,13 +379,24 @@ def _upsample3d_time(p, x, io: _CacheIO, first: bool):
     return conv_interleave(xin)
 
 
-def _resample(p, x, io: _CacheIO, mode: str, first: bool):
+def _resample(p, x, io: _CacheIO, mode: str, first: bool,
+              fused: str = ""):
     """Resample layer (vae.py:66-162)."""
     if mode == "upsample3d":
         x = _upsample3d_time(p["time_conv"], x, io, first)
     if mode in ("upsample2d", "upsample3d"):
-        x = _upsample_nearest2x(x)
-        x = _conv2d(x, p["conv"]["w"], p["conv"]["b"])
+        if fused:
+            from omnihuman_tpu.ops.vae_pallas import (
+                fused_upsample_conv2d, pack_upsample_weights)
+            w4 = p.get("w4")
+            if w4 is None:
+                w4 = pack_upsample_weights(p["conv"]["w"])
+            x = fused_upsample_conv2d(
+                x, w4, p["conv"]["b"].astype(jnp.float32),
+                interpret=fused == "interpret", out_dtype=x.dtype)
+        else:
+            x = _upsample_nearest2x(x)
+            x = _conv2d(x, p["conv"]["w"], p["conv"]["b"])
     elif mode in ("downsample2d", "downsample3d"):
         x = _conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=(2, 2),
                     padding="corner")
@@ -531,7 +546,7 @@ def _run_stack(spec, params, x, io: _CacheIO, first: bool,
         elif kind == "attn":
             x = _spatial_attention(p, x)
         elif kind == "resample":
-            x = _resample(p, x, io, item[2], first)
+            x = _resample(p, x, io, item[2], first, fused=fused)
         elif kind == "head":
             x = _rms_norm_channel(x, p["norm"]["gamma"])
             x = jax.nn.silu(x)

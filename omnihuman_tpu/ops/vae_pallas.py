@@ -212,3 +212,136 @@ def fused_act_causal_conv3d(
         interpret=interpret,
     )(*inputs)
     return y[:, :, :h], ctail[:, :, :h]
+
+
+# ---------------------------------------------------------------------------
+# fused nearest-2x upsample + 3x3 conv (decoder Resample, vae.py:66-140)
+
+
+def pack_upsample_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] SAME conv kernel at 2x-nearest-upsampled
+    resolution → 4 parity kernels [2, 2, 2, 2, Cin, Cout] ((a, b) output
+    parity, (p, q) low-res tap): nearest upsampling means the 3x3
+    high-res window holds only 2x2 DISTINCT low-res values, so
+    upsample→conv collapses to four 2x2 convs on the LOW-res grid —
+    4/9 the MACs and no high-res broadcast. Derivation: output row
+    2i+a reads high-res rows 2i+a-1+u, u∈0..2, which floor-div to
+    low-res rows {i-1+a+p}: a=0 → p0←u0, p1←u1+u2; a=1 → p0←u0+u1,
+    p1←u2 (same for columns)."""
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 2, 2, cin, cout), w.dtype)
+    rmap = {0: ((0, 0), (1, 1), (1, 2)),   # a=0: (p, u) pairs
+            1: ((0, 0), (0, 1), (1, 2))}   # a=1
+    for a in (0, 1):
+        for b in (0, 1):
+            for p, u in rmap[a]:
+                for q, v in rmap[b]:
+                    out = out.at[a, b, p, q].add(w[u, v])
+    return out.reshape(2, 2, 4 * cin, cout).astype(jnp.bfloat16)
+
+
+def _up_kernel(w_ref, b_ref, x_ref, y_ref, xc_ref, *, t, th, wc, wd,
+               cin, cout, out_dtype):
+    # x_ref: [1, T, th+2, W+2, Cin] low-res (+1 halo on each side)
+    x = x_ref[0].astype(jnp.bfloat16)
+    bias = b_ref[...].astype(jnp.float32)
+    for wj in range(wd // wc):
+        quad = []
+        for a in (0, 1):
+            for b in (0, 1):
+                idx = 0
+                for p in (0, 1):
+                    for q in (0, 1):
+                        tap = x[:, a + p:a + p + th,
+                                b + q + wj * wc:b + q + wj * wc + wc, :]
+                        xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
+                            t * th * wc, cin)
+                        idx += 1
+                acc = jax.lax.dot_general(
+                    xc_ref[...], w_ref[a, b],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                quad.append((acc + bias).reshape(t, th, wc, cout))
+        # interleave parities in VMEM: [T, th, 2, wc, 2, Co] → hi-res tile
+        row0 = jnp.stack([quad[0], quad[1]], axis=3)   # a=0: (b0, b1)
+        row1 = jnp.stack([quad[2], quad[3]], axis=3)
+        tile = jnp.stack([row0, row1], axis=2)         # [T,th,2,wc,2,Co]
+        tile = tile.reshape(t, 2 * th, 2 * wc, cout).astype(out_dtype)
+        y_ref[0, :, :, 2 * wj * wc:2 * (wj + 1) * wc, :] = tile
+    del bias
+
+
+def _pick_up_tiles(t: int, h: int, w: int, cin: int, cout: int
+                   ) -> Tuple[int, int]:
+    w_bytes = 4 * 4 * cin * cout * 2
+    divisors = [d for d in range(min(w, 256), 0, -1) if w % d == 0]
+
+    def fits(th, wc):
+        xc = t * th * wc * 4 * cin * 2
+        xin = t * (th + 2) * (w + 2) * cin * 2 * 2
+        acc = 4 * t * th * wc * cout * 4 * 2   # quad + stacked copies
+        out = t * 2 * th * 2 * w * cout * 2
+        return w_bytes + xc + xin + acc + out <= VMEM_BUDGET
+
+    for th in (8, 4, 2, 1):
+        if th > h:
+            continue
+        for wc in divisors:
+            if t * th * wc >= 128 and fits(th, wc):
+                return th, wc
+    for th in (2, 1):
+        for wc in divisors:
+            if fits(th, wc):
+                return th, wc
+    raise ValueError(f"no upsample tile fits VMEM for C={cin}->{cout}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "interpret",
+                              "out_dtype"))
+def fused_upsample_conv2d(
+    x: jnp.ndarray,                 # [B, T, h, w, Cin] low-res
+    w4: jnp.ndarray,                # [2, 2, 4·Cin, Cout] (pack_upsample_weights)
+    b: jnp.ndarray,                 # [Cout]
+    tile_h: Optional[int] = None,
+    tile_w: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """nearest-2x upsample + SAME 3x3 conv in one pass:
+    [B, T, h, w, Cin] → [B, T, 2h, 2w, Cout]."""
+    bsz, t, h, wd, cin = x.shape
+    cout = w4.shape[-1]
+    if tile_h is None or tile_w is None:
+        tile_h, tile_w = _pick_up_tiles(t, h, wd, cin, cout)
+    th, wc = tile_h, tile_w
+    if wd % wc:
+        raise ValueError(f"tile_w={wc} must divide w={wd}")
+    nh = -(-h // th)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
+                     (0, 0)))
+
+    halo = pl.BlockSpec(
+        (pl.Element(1), pl.Element(t), pl.Element(th + 2),
+         pl.Element(wd + 2), pl.Element(cin)),
+        lambda bi, i: (bi, 0, i * th, 0, 0))
+
+    y = pl.pallas_call(
+        functools.partial(_up_kernel, t=t, th=th, wc=wc, wd=wd, cin=cin,
+                          cout=cout, out_dtype=out_dtype),
+        grid=(bsz, nh),
+        in_specs=[
+            pl.BlockSpec((2, 2, 4 * cin, cout), lambda bi, i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            halo,
+        ],
+        out_specs=pl.BlockSpec((1, t, 2 * th, 2 * wd, cout),
+                               lambda bi, i: (bi, 0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, 2 * nh * th, 2 * wd, cout),
+                                       out_dtype),
+        scratch_shapes=[pltpu.VMEM((t * th * wc, 4 * cin), jnp.bfloat16)],
+        interpret=interpret,
+    )(w4, b, xp)
+    return y[:, :, :2 * h]

@@ -192,3 +192,22 @@ def test_encode_pallas_fused_matches_xla(vae_params):
     b = np.asarray(z_pal, np.float32)
     np.testing.assert_allclose(a, b, atol=1e-1, rtol=1e-1)
     assert float(np.sqrt(((a - b) ** 2).mean())) < 2e-2
+
+
+def test_fused_upsample_conv_parity():
+    """nearest-2x upsample + 3x3 conv == the parity-decomposed Pallas
+    kernel (4/9 the MACs on the low-res grid)."""
+    from omnihuman_tpu.models.vae import _conv2d, _upsample_nearest2x
+    from omnihuman_tpu.ops.vae_pallas import (
+        fused_upsample_conv2d, pack_upsample_weights)
+    rng = np.random.default_rng(3)
+    B, T, h, w, Ci, Co = 1, 2, 10, 14, 32, 16
+    x = jnp.asarray(rng.normal(size=(B, T, h, w, Ci)), jnp.bfloat16)
+    wt = jnp.asarray(rng.normal(size=(3, 3, Ci, Co)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(Co,)) * 0.1, jnp.float32)
+    ref = _conv2d(_upsample_nearest2x(x), wt, b.astype(jnp.bfloat16))
+    y = fused_upsample_conv2d(x, pack_upsample_weights(wt), b,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
