@@ -82,6 +82,7 @@ class WanI2V(WanT2V):
         seed: int = -1,
         context: Optional[jnp.ndarray] = None,
         context_null: Optional[jnp.ndarray] = None,
+        context_lens: Optional[jnp.ndarray] = None,   # [2] (cond, uncond)
         return_latents: bool = False,
         fused_loop: bool = False,
         cfg_mode: Optional[str] = None,
@@ -97,8 +98,19 @@ class WanI2V(WanT2V):
         f_lat = (frame_num - 1) // self.vae_stride[0] + 1
 
         if context is None:
-            context, _ = self.encode_text([input_prompt])
-            context_null, _ = self.encode_text([n_prompt])
+            context, lens_c = self.encode_text([input_prompt])
+            context_null, lens_n = self.encode_text([n_prompt])
+            context_lens = jnp.concatenate([lens_c, lens_n])
+        # varlen text masking (reference model.py:530-531) + trim the
+        # padded context to a 128-bucket of the true max length — masked
+        # kv columns contribute nothing, so output is bit-identical and
+        # cross-attention cost drops ~4x for typical prompts
+        if context_lens is not None:
+            bucket = int(np.ceil(max(1, int(jnp.max(context_lens)))
+                                 / 128) * 128)
+            if bucket < context.shape[1]:
+                context = context[:, :bucket]
+                context_null = context_null[:, :bucket]
 
         # CLIP image context (257 tokens)
         clip_fea = self.clip.visual(img[None])
@@ -124,6 +136,7 @@ class WanI2V(WanT2V):
             cfg_mode = self.default_cfg_mode(seq_len)
         latents = _i2v_sample(
             self.params, noise, y, clip_fea, context, context_null,
+            context_lens=context_lens,
             model_cfg=cfg.model, policy=cfg.policy,
             patch_size=self.patch_size, seq_len=seq_len, shift=shift,
             solver=sample_solver, steps=sampling_steps,
@@ -143,7 +156,7 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
                 model_cfg, policy, patch_size, seq_len, shift, solver,
                 steps, guide_scale, num_train_timesteps, fused_loop=False,
                 mesh=None, attn_impl="auto", token_sharding=None,
-                cfg_mode="fused"):
+                cfg_mode="fused", context_lens=None):
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
             noise.shape[4] // patch_size[2])
@@ -152,6 +165,8 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
     sol = get_solver(solver, steps, float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
+    ctx_lens = (None if context_lens is None
+                else jnp.asarray(context_lens, jnp.int32))
     y2 = jnp.concatenate([y, y], axis=0)
     clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
@@ -166,7 +181,8 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
     if fused_loop:
         def model_fn(x, t, i):
             return _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2,
-                                       rope_sin, rope_cos, **statics)
+                                       rope_sin, rope_cos,
+                                       ctx_lens=ctx_lens, **statics)
         with mesh_ctx():
             return sol.sample_loop(model_fn, noise)
 
@@ -176,7 +192,8 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
     for i in range(steps):
         with mesh_ctx():
             v = _i2v_cfg_model_step(params, x, jnp.float32(ts[i]), ctx2, y2,
-                                    clip2, rope_sin, rope_cos, **statics)
+                                    clip2, rope_sin, rope_cos,
+                                    ctx_lens=ctx_lens, **statics)
         x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
     return x
 
@@ -185,8 +202,8 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
     "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
     "token_sharding", "cfg_mode"))
 def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
-                        *, model_cfg, policy, seq_len, guide_scale,
-                        attn_impl="auto", token_sharding=None,
+                        ctx_lens=None, *, model_cfg, policy, seq_len,
+                        guide_scale, attn_impl="auto", token_sharding=None,
                         cfg_mode="fused"):
     """i2v CFG step; cfg_mode='sequential' runs cond/uncond one after the
     other in the same compiled program — the memory-validated mode for
@@ -198,15 +215,21 @@ def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
     if cfg_mode == "fused":
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-        v = fwd(x2, t2, ctx2, clip_fea=clip2, y=y2)
+        v = fwd(x2, t2, ctx2, clip_fea=clip2, y=y2,
+                context_lens=ctx_lens)
         v_cond, v_uncond = jnp.split(v, 2, axis=0)
     elif cfg_mode == "sequential":
         ctx, ctx_null = jnp.split(ctx2, 2, axis=0)
         y1, _ = jnp.split(y2, 2, axis=0)
         clip1, _ = jnp.split(clip2, 2, axis=0)
+        lens_c = lens_n = None
+        if ctx_lens is not None:
+            lens_c, lens_n = ctx_lens[:1], ctx_lens[1:]
         t1 = jnp.full((x.shape[0],), t, jnp.float32)
-        v_cond = fwd(x, t1, ctx, clip_fea=clip1, y=y1)
-        v_uncond = fwd(x, t1, ctx_null, clip_fea=clip1, y=y1)
+        v_cond = fwd(x, t1, ctx, clip_fea=clip1, y=y1,
+                     context_lens=lens_c)
+        v_uncond = fwd(x, t1, ctx_null, clip_fea=clip1, y=y1,
+                       context_lens=lens_n)
     else:
         raise ValueError(f"unknown cfg_mode {cfg_mode!r}; "
                          "expected 'fused' or 'sequential'")

@@ -208,6 +208,7 @@ class WanT2V:
         seed: int = -1,
         context: Optional[jnp.ndarray] = None,
         context_null: Optional[jnp.ndarray] = None,
+        context_lens: Optional[jnp.ndarray] = None,   # [2] (cond, uncond)
         return_latents: bool = False,
         fused_loop: bool = False,
         cfg_mode: Optional[str] = None,
@@ -227,8 +228,23 @@ class WanT2V:
         seed = seed if seed >= 0 else np.random.randint(0, 2 ** 31)
 
         if context is None:
-            context, _ = self.encode_text([input_prompt])
-            context_null, _ = self.encode_text([n_prompt])
+            context, lens_c = self.encode_text([input_prompt])
+            context_null, lens_n = self.encode_text([n_prompt])
+            context_lens = jnp.concatenate([lens_c, lens_n])
+
+        # varlen text masking (reference model.py:530-531 computes
+        # context_lens and masks padded tokens in cross-attention) + a
+        # TPU win the reference can't take: masked kv columns contribute
+        # nothing, so the padded 512-token context can be TRIMMED to a
+        # 128-bucket of the true max length — cross-attention cost drops
+        # ~4x for typical prompts with bit-identical output. Static
+        # bucket → at most text_len/128 step recompiles.
+        if context_lens is not None:
+            bucket = int(np.ceil(max(1, int(jnp.max(context_lens)))
+                                 / 128) * 128)
+            if bucket < context.shape[1]:
+                context = context[:, :bucket]
+                context_null = context_null[:, :bucket]
 
         lat_shape = self.latent_shape(size, frame_num)
         seq_len = self.seq_len_for(lat_shape)
@@ -246,7 +262,7 @@ class WanT2V:
             num_train_timesteps=self.config.num_train_timesteps,
             fused_loop=fused_loop, mesh=self.mesh,
             attn_impl=self.attn_impl, token_sharding=self.token_sharding,
-            cfg_mode=cfg_mode)
+            cfg_mode=cfg_mode, context_lens=context_lens)
         if return_latents:
             return latents
         video = vae_mod.vae_decode_jit(self.vae_params, latents,
@@ -257,9 +273,10 @@ class WanT2V:
 @functools.partial(jax.jit, static_argnames=(
     "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
     "token_sharding", "cfg_mode"))
-def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, *, model_cfg,
-                    policy, seq_len, guide_scale, attn_impl="auto",
-                    token_sharding=None, cfg_mode="fused"):
+def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, ctx_lens=None,
+                    *, model_cfg, policy, seq_len, guide_scale,
+                    attn_impl="auto", token_sharding=None,
+                    cfg_mode="fused"):
     """One CFG denoise model call (module-level jit → cached across
     generate() invocations).
 
@@ -276,13 +293,16 @@ def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, *, model_cfg,
     if cfg_mode == "fused":
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((x2.shape[0],), t, jnp.float32)
-        v2 = fwd(x2, t2, ctx2)
+        v2 = fwd(x2, t2, ctx2, context_lens=ctx_lens)
         v_cond, v_uncond = jnp.split(v2, 2, axis=0)
     elif cfg_mode == "sequential":
         ctx, ctx_null = jnp.split(ctx2, 2, axis=0)
+        lens_c = lens_n = None
+        if ctx_lens is not None:
+            lens_c, lens_n = ctx_lens[:1], ctx_lens[1:]
         t1 = jnp.full((x.shape[0],), t, jnp.float32)
-        v_cond = fwd(x, t1, ctx)
-        v_uncond = fwd(x, t1, ctx_null)
+        v_cond = fwd(x, t1, ctx, context_lens=lens_c)
+        v_uncond = fwd(x, t1, ctx_null, context_lens=lens_n)
     else:
         raise ValueError(f"unknown cfg_mode {cfg_mode!r}; "
                          "expected 'fused' or 'sequential'")
@@ -292,7 +312,8 @@ def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, *, model_cfg,
 def sample(params, noise, context, context_null, *, model_cfg, policy,
            patch_size, seq_len, shift, solver, steps, guide_scale,
            num_train_timesteps, fused_loop=False, mesh=None,
-           attn_impl="auto", token_sharding=None, cfg_mode="fused"):
+           attn_impl="auto", token_sharding=None, cfg_mode="fused",
+           context_lens=None):
     """Denoising loop.
 
     fused_loop=False (default): ONE compiled model step driven by a host
@@ -314,6 +335,8 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
     sol = get_solver(solver, steps, float(shift), num_train_timesteps)
 
     ctx2 = jnp.concatenate([context, context_null], axis=0)
+    ctx_lens = (None if context_lens is None
+                else jnp.asarray(context_lens, jnp.int32))
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
                    guide_scale=float(guide_scale), attn_impl=attn_impl,
                    token_sharding=token_sharding, cfg_mode=cfg_mode)
@@ -326,7 +349,7 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
     if fused_loop:
         def model_fn(x, t, i):
             return _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos,
-                                   **statics)
+                                   ctx_lens=ctx_lens, **statics)
         with mesh_ctx():
             return sol.sample_loop(model_fn, noise)
 
@@ -336,6 +359,7 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
     for i in range(steps):
         with mesh_ctx():
             v = _cfg_model_step(params, x, jnp.float32(ts[i]), ctx2,
-                                rope_sin, rope_cos, **statics)
+                                rope_sin, rope_cos, ctx_lens=ctx_lens,
+                                **statics)
         x, state = sol.jitted_step(state, v, x, jnp.asarray(i, jnp.int32))
     return x

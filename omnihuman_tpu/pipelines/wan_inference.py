@@ -42,6 +42,7 @@ class SeaweedWanAPTGenerator:
         frame_num: int = 1,
         seed: int = 0,
         context: Optional[jnp.ndarray] = None,
+        context_lens: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
     ):
         """video [3, F, H, W] from ONE model forward (wan_inference.py:71-195)."""
@@ -50,7 +51,13 @@ class SeaweedWanAPTGenerator:
 
         t0 = time.perf_counter()
         if context is None:
-            context, _ = self.pipe.encode_text([prompt])
+            context, context_lens = self.pipe.encode_text([prompt])
+        if context_lens is not None:
+            # varlen masking + 128-bucket trim (see WanT2V.generate)
+            bucket = int(np.ceil(max(1, int(jnp.max(context_lens)))
+                                 / 128) * 128)
+            if bucket < context.shape[1]:
+                context = context[:, :bucket]
         jax.block_until_ready(context)
         timings["text_encode_s"] = time.perf_counter() - t0
 
@@ -65,7 +72,9 @@ class SeaweedWanAPTGenerator:
 
         t0 = time.perf_counter()
         v = _one_step(self.params, noise, context, cfg.model, seq_len,
-                      sin, cos, cfg.policy, float(cfg.num_train_timesteps))
+                      sin, cos, cfg.policy, float(cfg.num_train_timesteps),
+                      context_lens=None if context_lens is None
+                      else jnp.asarray(context_lens, jnp.int32))
         latents = noise - v
         jax.block_until_ready(latents)
         timings["dit_s"] = time.perf_counter() - t0
@@ -89,9 +98,10 @@ import functools
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 7, 8))
 def _one_step(params, noise, context, cfg_model, seq_len, sin, cos,
-              policy, t_final):
+              policy, t_final, context_lens=None):
     b = noise.shape[0]
     t = jnp.full((b,), t_final, jnp.float32)
     return wan_dit.wan_model_forward(
         params, noise, t, context, cfg=cfg_model, seq_len=seq_len,
-        rope_sin=sin, rope_cos=cos, policy=policy, remat=False)
+        rope_sin=sin, rope_cos=cos, policy=policy, remat=False,
+        context_lens=context_lens)

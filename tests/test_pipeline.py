@@ -72,3 +72,32 @@ def test_guide_scale_changes_output(pipe):
     a = pipe.generate("x", guide_scale=1.0, **kw)
     b = pipe.generate("x", guide_scale=9.0, **kw)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_context_lens_trim_is_exact(pipe):
+    """Trimming the padded context to a 128-bucket of the true length +
+    varlen masking must produce the same latents as the full padded
+    context with the same mask (masked kv columns contribute nothing;
+    reference model.py:530-531 computes context_lens the same way)."""
+    rng = np.random.default_rng(9)
+    text_len = TINY_TEST.text_len
+    full = jnp.asarray(
+        rng.normal(size=(1, text_len, TINY_TEST.t5.dim)) * 0.1,
+        jnp.float32)
+    full_null = jnp.asarray(
+        rng.normal(size=(1, text_len, TINY_TEST.t5.dim)) * 0.1,
+        jnp.float32)
+    true_len = 5
+    lens = jnp.asarray([true_len, true_len], jnp.int32)
+    kw = dict(size=(32, 32), frame_num=1, sampling_steps=2, seed=11,
+              return_latents=True)
+    a = pipe.generate("x", context=full, context_null=full_null,
+                      context_lens=lens, **kw)
+    # hand-trimmed equivalent of what generate() does internally when it
+    # encodes text itself (TINY text_len < 128 so the internal bucket is
+    # a no-op; trim directly to prove masked columns contribute nothing)
+    b = pipe.generate("x", context=full[:, :true_len + 3],
+                      context_null=full_null[:, :true_len + 3],
+                      context_lens=lens, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
