@@ -103,8 +103,16 @@ def main(argv=None):
     text_encoder = T5TextEncoder(cfg.t5, cfg.text_len,
                                  tokenizer_name=cfg.t5_tokenizer,
                                  ckpt_dir=args.ckpt_dir)
-    ctx = text_encoder([args.prompt])
-    ctx_null = text_encoder([args.neg_prompt or cfg.sample_neg_prompt])
+    ctx, ctx_lens = text_encoder.encode([args.prompt])
+    ctx_null, null_lens = text_encoder.encode(
+        [args.neg_prompt or cfg.sample_neg_prompt])
+    # varlen text masking + 128-bucket trim (see WanT2V.generate): masked
+    # kv columns contribute nothing, so output is identical
+    bucket = int(np.ceil(max(1, int(jnp.maximum(ctx_lens.max(),
+                                                null_lens.max())))
+                         / 128) * 128)
+    if bucket < ctx.shape[1]:
+        ctx, ctx_null = ctx[:, :bucket], ctx_null[:, :bucket]
 
     # ---- reference image → VAE latent ---------------------------------------
     img = Image.open(args.reference_image).convert("RGB")
@@ -161,8 +169,10 @@ def main(argv=None):
         tb = jnp.full((1,), t, jnp.float32)
         v_c = omni_model_forward(params, x, tb, ctx, cfg=ocfg, audio=audio,
                                  pose=pose, ref_latent=ref_lat,
+                                 context_lens=ctx_lens,
                                  policy=policy, remat=False)
         v_u = omni_model_forward(params, x, tb, ctx_null, cfg=ocfg,
+                                 context_lens=null_lens,
                                  policy=policy, remat=False)
         return v_u + cfg_t * (v_c - v_u)
 

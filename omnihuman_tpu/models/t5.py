@@ -224,14 +224,21 @@ class T5TextEncoder:
 
     def __call__(self, prompts) -> jnp.ndarray:
         """[str, ...] → [B, text_len, dim] fp32 context."""
+        return self.encode(prompts)[0]
+
+    def encode(self, prompts):
+        """[str, ...] → (context [B, text_len, dim] fp32, lens [B] int32
+        true token counts — the reference's context_lens,
+        model.py:530-531)."""
         missing = [p for p in dict.fromkeys(prompts)
                    if p not in self._cache]
         if missing:
             ids, mask = self.tokenizer(missing, return_mask=True)
             ctx = np.asarray(self._encode(self.params, jnp.asarray(ids),
                                           jnp.asarray(mask)), np.float32)
-            for p, c in zip(missing, ctx):
-                self._cache[p] = c
+            lens = np.asarray(mask).sum(axis=1).astype(np.int32)
+            for p, c, n in zip(missing, ctx, lens):
+                self._cache[p] = (c, int(n))
             # evict oldest entries NOT needed by this batch (wholesale
             # clear() would drop same-batch prompts and KeyError below)
             if len(self._cache) > self._cache_size:
@@ -240,4 +247,7 @@ class T5TextEncoder:
                     del self._cache[p]
                     if len(self._cache) <= self._cache_size:
                         break
-        return jnp.asarray(np.stack([self._cache[p] for p in prompts]))
+        ctx = jnp.asarray(np.stack([self._cache[p][0] for p in prompts]))
+        lens = jnp.asarray([self._cache[p][1] for p in prompts],
+                           jnp.int32)
+        return ctx, lens
