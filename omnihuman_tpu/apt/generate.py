@@ -71,7 +71,12 @@ def generate_batch(
     seq_len = grid[0] * grid[1] * grid[2]
     sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
 
-    # text contexts [N, 512, 4096] (+1 negative)
+    # text contexts [N, 512, 4096] (+1 negative). Deliberately NO
+    # context_lens masking here: the reference teacher passes the full
+    # padded [512, 4096] tensor (generate.py:223-228 wraps it in a list,
+    # so model.forward sees len==512) and the distill student consumes
+    # the same padded artifacts — masking only the teacher would skew
+    # the distillation targets.
     pos_ctx, _ = pipe.encode_text(prompts)
     neg_ctx, _ = pipe.encode_text([cfg.sample_neg_prompt])
     pos_ctx = np.asarray(pos_ctx, np.float32)
