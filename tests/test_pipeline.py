@@ -101,3 +101,12 @@ def test_context_lens_trim_is_exact(pipe):
                       context_lens=lens, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_generate_with_internal_text_encoding(pipe):
+    """Full path: prompt → T5 encode (offline tokenizer fallback) →
+    context_lens → bucket trim → sample. No precomputed context."""
+    video = pipe.generate("a red fox", size=(32, 32), frame_num=1,
+                          sampling_steps=2, seed=5)
+    assert video.shape == (3, 1, 32, 32)
+    assert np.isfinite(np.asarray(video)).all()
