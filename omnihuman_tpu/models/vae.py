@@ -131,7 +131,13 @@ def _upsample_nearest2x(x):
 # head is the last op — nothing downstream re-reads its layout.
 
 
-HEAD_BLOCK = 4
+import os as _os
+
+# Block size for the spatially-blocked RGB head conv. g=4 → 48/128
+# output lanes; g=8 → 192 lanes (75% fill) at FEWER equivalent MACs per
+# output (3·(g+2)²·cin/g²: 648 at g=4 vs 450 at g=8) — sweepable on
+# silicon via OMNI_VAE_HEAD_BLOCK.
+HEAD_BLOCK = int(_os.environ.get("OMNI_VAE_HEAD_BLOCK", "4"))
 
 
 def _head_conv_weights(w, block: int = HEAD_BLOCK):
