@@ -23,7 +23,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _device_watchdog(timeout_s: float = 600.0):
+    """Fail loudly (one JSON line) instead of hanging forever if the TPU
+    tunnel is down — device init normally takes seconds; an outage makes
+    `jax.devices()` block indefinitely (observed 2026-08-17)."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "p50 CFG denoise-step latency, Wan-1.3B "
+                      "480x832x81f (32760 tok), 1 chip",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "extra": {"error": f"TPU device init exceeded {timeout_s:.0f}s"
+                               " (tunnel down?)"},
+        }), flush=True)
+        os._exit(2)
+
+
 def main():
+    _device_watchdog()
     import jax
     import jax.numpy as jnp
     try:
