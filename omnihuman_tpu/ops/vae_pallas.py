@@ -269,7 +269,6 @@ def _up_kernel(w_ref, b_ref, x_ref, y_ref, xc_ref, *, t, th, wc, wd,
         tile = jnp.stack([row0, row1], axis=2)         # [T,th,2,wc,2,Co]
         tile = tile.reshape(t, 2 * th, 2 * wc, cout).astype(out_dtype)
         y_ref[0, :, :, 2 * wj * wc:2 * (wj + 1) * wc, :] = tile
-    del bias
 
 
 def _pick_up_tiles(t: int, h: int, w: int, cin: int, cout: int
