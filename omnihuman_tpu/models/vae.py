@@ -610,6 +610,15 @@ def _zero_caches(spec, params, batch, h, w, cfg, dtype, encoder: bool):
     return caches
 
 
+def _auto_conv_impl(streaming: bool) -> str:
+    """Resolve conv_impl='auto'. Pallas requires: TPU backend, streaming
+    mode, and NO active mesh — a bare pallas_call inside a mesh-jit
+    cannot be GSPMD-partitioned (see ops/attention.py and
+    REPORTS/memory_14B.md notes). Currently pinned to XLA until the
+    kernels are re-verified on silicon (tunnel outage, REPORTS/perf_r3)."""
+    return "xla"
+
+
 def _latent_scale(cfg: VAEConfig):
     mean = jnp.asarray(cfg.latent_mean)          # broadcast on channels-last
     std = jnp.asarray(cfg.latent_std)
@@ -626,7 +635,7 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
     Pallas norm→SiLU→conv path."""
     spec = encoder_spec(cfg)
     if conv_impl == "auto":
-        conv_impl = "xla"
+        conv_impl = _auto_conv_impl(streaming)
     fused = {"xla": "", "pallas": "pallas",
              "pallas_interpret": "interpret"}[conv_impl]
     if not streaming:
@@ -692,7 +701,7 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
     "pallas_interpret" (CPU tests)."""
     spec = decoder_spec(cfg)
     if conv_impl == "auto":
-        conv_impl = "xla"
+        conv_impl = _auto_conv_impl(streaming)
     fused = {"xla": "", "pallas": "pallas",
              "pallas_interpret": "interpret"}[conv_impl]
     if not streaming:
