@@ -304,9 +304,15 @@ def _residual_block(p, x, io: _CacheIO, fused: str = ""):
                     padding="valid_t")
     if fused and io.streaming:
         from omnihuman_tpu.ops.vae_pallas import (
-            fused_act_causal_conv3d, pack_conv_weights)
+            fused_act_causal_conv3d, fused_viable, pack_conv_weights)
         interp = fused == "interpret"
         identity = "shortcut" not in p
+        b_, t_, h_, w_, cin_ = x.shape
+        cout_ = p["conv1"]["w"].shape[-1]
+        if not (fused_viable(t_, h_, w_, cin_, cout_)
+                and fused_viable(t_, h_, w_, cout_, cout_)):
+            fused = ""      # fall through to the XLA path below
+    if fused and io.streaming:
         y = x
         for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
             w2 = p[conv].get("w2")

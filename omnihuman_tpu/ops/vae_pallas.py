@@ -125,6 +125,19 @@ def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
     raise ValueError(f"no tile fits VMEM for C={cin}->{cout} at W={w}")
 
 
+def fused_viable(t: int, h: int, w: int, cin: int, cout: int) -> bool:
+    """True when the fused kernel's tiling gives the MXU a healthy
+    streaming dimension (M = t·th·wc ≥ 128). At Cin=384 the resident
+    [27·Cin, Cout] weights squeeze the im2col scratch until M drops to
+    ~52 — XLA's conv is the better choice there until the dt-split
+    kernel variant lands."""
+    try:
+        th, wc = _pick_tiles(t, h, w, cin, cout)
+    except ValueError:
+        return False
+    return t * th * wc >= 128
+
+
 def pack_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
     """[3, 3, 3, Cin, Cout] → K-packed [27·Cin, Cout] bf16 (row order
     (dt, dy, dx, ci) matches the kernel's im2col column order). Do this
