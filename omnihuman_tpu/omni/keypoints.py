@@ -43,11 +43,15 @@ class TorchScriptPoseBackbone:
         self.device = device
 
     def __call__(self, crop: np.ndarray) -> np.ndarray:
-        """[H, W, 3] uint8 crop → [K, h, w] heatmaps."""
+        """[H, W, 3] uint8 crop → [K, h, w] heatmaps.
+
+        Normalization matches the reference transform
+        (keypoint_processor.py:43-49): mean 123.5/116.5/103.5,
+        std 58.5/57.0/57.5 on the 0-255 scale."""
         torch = self.torch
-        x = torch.from_numpy(crop.astype(np.float32) / 255.0)
-        x = (x - torch.tensor([0.485, 0.456, 0.406])) / torch.tensor(
-            [0.229, 0.224, 0.225])
+        from omnihuman_tpu.omni.sapiens import SAPIENS_MEAN, SAPIENS_STD
+        x = torch.from_numpy(crop.astype(np.float32))
+        x = (x - torch.tensor(SAPIENS_MEAN)) / torch.tensor(SAPIENS_STD)
         x = x.permute(2, 0, 1)[None].to(self.device)
         with torch.no_grad():
             out = self.model(x)
@@ -66,17 +70,26 @@ class SapiensKeypointProcessor:
         heatmap_size: Tuple[int, int] = (192, 256),
         nms_threshold: float = 0.3,
         det_score_threshold: float = 0.3,
+        backbone: Optional[Callable] = None,
     ):
+        """checkpoint_path routing: ``*.pt2`` → TorchScript wrapper
+        (the reference's artifact); anything else → the native JAX
+        Sapiens backbone (omni/sapiens.py), converted from the torch
+        state dict. `backbone` accepts any callable crop → [K, h, w]."""
         self.num_keypoints = num_keypoints
         self.input_size = input_size
         self.heatmap_size = heatmap_size
         self.nms_threshold = nms_threshold
         self.det_score_threshold = det_score_threshold
         self.detector = detector or full_frame_detector
-        self.backbone = None
-        if checkpoint_path:
+        self.backbone = backbone
+        if backbone is None and checkpoint_path:
             try:
-                self.backbone = TorchScriptPoseBackbone(checkpoint_path)
+                if checkpoint_path.endswith(".pt2"):
+                    self.backbone = TorchScriptPoseBackbone(checkpoint_path)
+                else:
+                    from omnihuman_tpu.omni.sapiens import JaxSapiensBackbone
+                    self.backbone = JaxSapiensBackbone(checkpoint_path)
                 logger.info(f"Loaded Sapiens backbone: {checkpoint_path}")
             except Exception as e:
                 logger.warning(f"Sapiens load failed ({e}); "
