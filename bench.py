@@ -23,10 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _device_watchdog(timeout_s: float = 600.0):
+def _device_watchdog(timeout_s: float = None):
     """Fail loudly (one JSON line) instead of hanging forever if the TPU
     tunnel is down — device init normally takes seconds; an outage makes
-    `jax.devices()` block indefinitely (observed 2026-08-17)."""
+    `jax.devices()` block indefinitely (observed 2026-08-17). The probe
+    thread keeps blocking inside jax.devices(), so the wait below doubles
+    as a retry window: if the tunnel comes back any time before the
+    deadline, the bench proceeds normally."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", 1800.0))
     import threading
 
     done = threading.Event()
