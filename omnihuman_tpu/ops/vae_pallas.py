@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 13 * 1024 * 1024   # leave headroom under the 16 MB limit
+VMEM_BUDGET = 11 * 1024 * 1024   # headroom under the 16 MB scoped limit:
+# the fits() model undercounts Mosaic's stack (a 13M budget produced a
+# 17.18M allocation at 480x840x96 t=1 — real-compiler AOT, 2026-08-18)
 
 
 def _silu_rms(x_f32, gamma, c):
@@ -54,8 +56,9 @@ def _silu_rms(x_f32, gamma, c):
 
 
 def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref, *refs,
-            t, th, wc, wd, cin, cout, out_dtype, add_residual):
-    # x_ref: [1, T, th+2, W+2, Cin] raw; cache_ref: [1, 2, th+2, W+2, Cin]
+            t, th, wc, cin, cout, out_dtype, add_residual):
+    # x_ref: [1, T, th+2, wc+2, Cin] raw halo window;
+    # cache_ref: [1, 2, th+2, wc+2, Cin] activated history window
     if add_residual:
         res_ref, y_ref, ctail_ref, xc_ref = refs
     else:
@@ -66,60 +69,69 @@ def _kernel(gamma_ref, w_ref, b_ref, x_ref, cache_ref, *refs,
                   ).astype(jnp.bfloat16)
     xin = jnp.concatenate([cache_ref[0].astype(jnp.bfloat16), a], axis=0)
     bias = b_ref[...].astype(jnp.float32)
-    for wj in range(wd // wc):
-        # im2col: column block (dt, dy, dx) = the tap's shifted window
-        idx = 0
-        for dt in range(3):
-            for dy in range(3):
-                for dx in range(3):
-                    tap = xin[dt:dt + t, dy:dy + th,
-                              dx + wj * wc:dx + wj * wc + wc, :]
-                    xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
-                        t * th * wc, cin)
-                    idx += 1
-        acc = jax.lax.dot_general(
-            xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-        acc = (acc + bias).reshape(t, th, wc, cout)
-        if add_residual:
-            # fused resblock identity skip (vae.py:186-221): the caller
-            # passes the BLOCK input (not this conv's input) as res_ref
-            acc = acc + res_ref[0, :, :, wj * wc:(wj + 1) * wc, :
-                                ].astype(jnp.float32)
-        y_ref[0, :, :, wj * wc:(wj + 1) * wc, :] = acc.astype(out_dtype)
+    # im2col: column block (dt, dy, dx) = the tap's shifted window
+    idx = 0
+    for dt in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                tap = xin[dt:dt + t, dy:dy + th, dx:dx + wc, :]
+                xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
+                    t * th * wc, cin)
+                idx += 1
+    acc = jax.lax.dot_general(
+        xc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    acc = (acc + bias).reshape(t, th, wc, cout)
+    if add_residual:
+        # fused resblock identity skip (vae.py:186-221): the caller
+        # passes the BLOCK input (not this conv's input) as res_ref
+        acc = acc + res_ref[0].astype(jnp.float32)
+    y_ref[0] = acc.astype(out_dtype)
     # updated streaming cache: last 2 frames of the activated input
     # stream (works for t == 1, where one frame comes from the old cache)
-    ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + wd, :].astype(
+    ctail_ref[0] = xin[t:t + 2, 1:1 + th, 1:1 + wc, :].astype(
         jnp.bfloat16)
 
 
 def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
                 ) -> Tuple[int, int]:
     """(th, wc): H tile height and inner im2col W-chunk width whose
-    working set fits the VMEM budget. wc must divide w."""
+    working set fits the VMEM budget.
+
+    wc is constrained to multiples of 16: the kernel's im2col collapse
+    `[t, th, wc, cin] -> [t*th*wc, cin]` is only a free tile-row
+    concatenation for Mosaic when the second-minor dim is sublane-tile
+    aligned (bf16 packs (16, 128)); unaligned wc is REJECTED by the
+    Mosaic vector-layout pass ("unsupported shape cast", observed at
+    wc=53). The caller pads W up to a wc multiple and the grid tiles W,
+    so wc need not divide w.
+
+    The budget model counts the per-grid-step streamed windows TWICE
+    (Mosaic double-buffers them for pipelining; a single-counted model
+    produced a 16.76M > 16M scoped-vmem rejection at 240x424x192)."""
     w_bytes = 27 * cin * cout * 2
-    divisors = [d for d in range(min(w, 256), 0, -1) if w % d == 0]
+    chunks = [wc for wc in range(256, 0, -16)]
 
     def fits(th, wc):
         xc = t * th * wc * 27 * cin * 2
-        xin = (2 * t + 2) * (th + 2) * (w + 2) * cin * 2   # x + a + concat
+        xin = (t + 2) * (th + 2) * (wc + 2) * cin * 2      # raw + cache win
+        act = t * (th + 2) * (wc + 2) * cin * 2 * 2        # a + concat copy
         acc = t * th * wc * cout * 4
-        # out counted twice: the optional fused-residual input block has
-        # the same footprint as the output block
-        out = 2 * t * th * w * cout * 2
-        tail = 2 * (th + 2) * (w + 2) * cin * 2
-        return w_bytes + xc + xin + acc + out + tail <= VMEM_BUDGET
+        out = 2 * t * th * wc * cout * 2     # output + optional residual
+        tail = 2 * th * wc * cin * 2
+        return (w_bytes + xc + act
+                + 2 * (xin + out + tail) + acc) <= VMEM_BUDGET
 
     for th in (8, 4, 2, 1):
         if th > h:
             continue
-        for wc in divisors:
+        for wc in chunks:
             if t * th * wc >= 128 and fits(th, wc):
                 return th, wc
     # tiny fallback: smallest chunk that fits
     for th in (2, 1):
-        for wc in divisors:
+        for wc in chunks:
             if fits(th, wc):
                 return th, wc
     raise ValueError(f"no tile fits VMEM for C={cin}->{cout} at W={w}")
@@ -171,60 +183,65 @@ def fused_act_causal_conv3d(
     if tile_h is None or tile_w is None:
         tile_h, tile_w = _pick_tiles(t, h, wd, cin, cout)
     th, wc = tile_h, tile_w
-    if wd % wc:
-        raise ValueError(f"tile_w={wc} must divide W={wd}")
     nh = -(-h // th)
+    nw = -(-wd // wc)
+    wp = nw * wc                    # W padded to a wc multiple (Mosaic
+                                    # sublane-aligned im2col collapse)
 
-    # zero-pad: +1 spatial halo on each side; H also up to a th multiple
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
-                     (0, 0)))
-    cp = jnp.pad(cache, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
-                         (0, 0)))
+    # zero-pad: +1 spatial halo on each side; H up to a th multiple and
+    # W up to a wc multiple
+    # W halo windows are wc+8 wide (Mosaic requires the second-minor
+    # block dim divisible by 8; the kernel reads only the first wc+2
+    # columns), so the padded array needs wp+8 columns total.
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h),
+                     (1, 7 + wp - wd), (0, 0)))
+    cp = jnp.pad(cache, ((0, 0), (0, 0), (1, 1 + nh * th - h),
+                         (1, 7 + wp - wd), (0, 0)))
 
-    # overlapping H-halo reads: all-Element specs (element offsets); W/C
-    # whole so the (8,128) minor-dim rule is satisfied by array equality
+    # overlapping H/W-halo reads: all-Element specs (element offsets);
+    # W offsets land on wc (16-aligned) boundaries, C stays whole
     def halo_spec(nt):
         return pl.BlockSpec(
             (pl.Element(1), pl.Element(nt), pl.Element(th + 2),
-             pl.Element(wd + 2), pl.Element(cin)),
-            lambda bi, i: (bi, 0, i * th, 0, 0))
+             pl.Element(wc + 8), pl.Element(cin)),
+            lambda bi, i, j: (bi, 0, i * th, j * wc, 0))
 
     in_specs = [
-        pl.BlockSpec((cin,), lambda bi, i: (0,)),
-        pl.BlockSpec((27 * cin, cout), lambda bi, i: (0, 0)),
-        pl.BlockSpec((cout,), lambda bi, i: (0,)),
+        pl.BlockSpec((cin,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((27 * cin, cout), lambda bi, i, j: (0, 0)),
+        pl.BlockSpec((cout,), lambda bi, i, j: (0,)),
         halo_spec(t),
         halo_spec(2),
     ]
     inputs = [gamma, w2, b, xp, cp]
     if add_residual:
         rp = jnp.pad(residual, ((0, 0), (0, 0), (0, nh * th - h),
-                                (0, 0), (0, 0)))
-        in_specs.append(pl.BlockSpec((1, t, th, wd, cout),
-                                     lambda bi, i: (bi, 0, i, 0, 0)))
+                                (0, wp - wd), (0, 0)))
+        in_specs.append(pl.BlockSpec((1, t, th, wc, cout),
+                                     lambda bi, i, j: (bi, 0, i, j, 0)))
         inputs.append(rp)
 
     y, ctail = pl.pallas_call(
-        functools.partial(_kernel, t=t, th=th, wc=wc, wd=wd, cin=cin,
+        functools.partial(_kernel, t=t, th=th, wc=wc, cin=cin,
                           cout=cout, out_dtype=out_dtype,
                           add_residual=add_residual),
-        grid=(bsz, nh),
+        grid=(bsz, nh, nw),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, t, th, wd, cout),
-                         lambda bi, i: (bi, 0, i, 0, 0)),
-            pl.BlockSpec((1, 2, th, wd, cin),
-                         lambda bi, i: (bi, 0, i, 0, 0)),
+            pl.BlockSpec((1, t, th, wc, cout),
+                         lambda bi, i, j: (bi, 0, i, j, 0)),
+            pl.BlockSpec((1, 2, th, wc, cin),
+                         lambda bi, i, j: (bi, 0, i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, t, nh * th, wd, cout), out_dtype),
-            jax.ShapeDtypeStruct((bsz, 2, nh * th, wd, cin),
+            jax.ShapeDtypeStruct((bsz, t, nh * th, wp, cout), out_dtype),
+            jax.ShapeDtypeStruct((bsz, 2, nh * th, wp, cin),
                                  jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((t * th * wc, 27 * cin), jnp.bfloat16)],
         interpret=interpret,
     )(*inputs)
-    return y[:, :, :h], ctail[:, :, :h]
+    return y[:, :, :h, :wd], ctail[:, :, :h, :wd]
 
 
 # ---------------------------------------------------------------------------
@@ -253,57 +270,56 @@ def pack_upsample_weights(w: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(2, 2, 4 * cin, cout).astype(jnp.bfloat16)
 
 
-def _up_kernel(w_ref, b_ref, x_ref, y_ref, xc_ref, *, t, th, wc, wd,
+def _up_kernel(w_ref, b_ref, x_ref, y_ref, xc_ref, *, t, th, wc,
                cin, cout, out_dtype):
-    # x_ref: [1, T, th+2, W+2, Cin] low-res (+1 halo on each side)
+    # x_ref: [1, T, th+2, wc+2, Cin] low-res halo window
     x = x_ref[0].astype(jnp.bfloat16)
     bias = b_ref[...].astype(jnp.float32)
-    for wj in range(wd // wc):
-        quad = []
-        for a in (0, 1):
-            for b in (0, 1):
-                idx = 0
-                for p in (0, 1):
-                    for q in (0, 1):
-                        tap = x[:, a + p:a + p + th,
-                                b + q + wj * wc:b + q + wj * wc + wc, :]
-                        xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
-                            t * th * wc, cin)
-                        idx += 1
-                acc = jax.lax.dot_general(
-                    xc_ref[...], w_ref[a, b],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
-                quad.append((acc + bias).reshape(t, th, wc, cout))
-        # interleave parities in VMEM: [T, th, 2, wc, 2, Co] → hi-res tile
-        row0 = jnp.stack([quad[0], quad[1]], axis=3)   # a=0: (b0, b1)
-        row1 = jnp.stack([quad[2], quad[3]], axis=3)
-        tile = jnp.stack([row0, row1], axis=2)         # [T,th,2,wc,2,Co]
-        tile = tile.reshape(t, 2 * th, 2 * wc, cout).astype(out_dtype)
-        y_ref[0, :, :, 2 * wj * wc:2 * (wj + 1) * wc, :] = tile
+    quad = []
+    for a in (0, 1):
+        for b in (0, 1):
+            idx = 0
+            for p in (0, 1):
+                for q in (0, 1):
+                    tap = x[:, a + p:a + p + th, b + q:b + q + wc, :]
+                    xc_ref[:, idx * cin:(idx + 1) * cin] = tap.reshape(
+                        t * th * wc, cin)
+                    idx += 1
+            acc = jax.lax.dot_general(
+                xc_ref[...], w_ref[a, b],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            quad.append((acc + bias).reshape(t, th, wc, cout))
+    # interleave parities in VMEM: [T, th, 2, wc, 2, Co] → hi-res tile
+    row0 = jnp.stack([quad[0], quad[1]], axis=3)       # a=0: (b0, b1)
+    row1 = jnp.stack([quad[2], quad[3]], axis=3)
+    tile = jnp.stack([row0, row1], axis=2)             # [T,th,2,wc,2,Co]
+    y_ref[0] = tile.reshape(t, 2 * th, 2 * wc, cout).astype(out_dtype)
 
 
 def _pick_up_tiles(t: int, h: int, w: int, cin: int, cout: int
                    ) -> Tuple[int, int]:
+    """wc multiples of 16 for the same Mosaic sublane-alignment reason
+    as _pick_tiles; the caller pads w up to a wc multiple."""
     w_bytes = 4 * 4 * cin * cout * 2
-    divisors = [d for d in range(min(w, 256), 0, -1) if w % d == 0]
+    chunks = [wc for wc in range(256, 0, -16)]
 
     def fits(th, wc):
         xc = t * th * wc * 4 * cin * 2
-        xin = t * (th + 2) * (w + 2) * cin * 2 * 2
+        xin = t * (th + 2) * (wc + 2) * cin * 2 * 2
         acc = 4 * t * th * wc * cout * 4 * 2   # quad + stacked copies
-        out = t * 2 * th * 2 * w * cout * 2
-        return w_bytes + xc + xin + acc + out <= VMEM_BUDGET
+        out = t * 2 * th * 2 * wc * cout * 2
+        return w_bytes + xc + 2 * (xin + out) + acc <= VMEM_BUDGET
 
     for th in (8, 4, 2, 1):
         if th > h:
             continue
-        for wc in divisors:
+        for wc in chunks:
             if t * th * wc >= 128 and fits(th, wc):
                 return th, wc
     for th in (2, 1):
-        for wc in divisors:
+        for wc in chunks:
             if fits(th, wc):
                 return th, wc
     raise ValueError(f"no upsample tile fits VMEM for C={cin}->{cout}")
@@ -328,32 +344,35 @@ def fused_upsample_conv2d(
     if tile_h is None or tile_w is None:
         tile_h, tile_w = _pick_up_tiles(t, h, wd, cin, cout)
     th, wc = tile_h, tile_w
-    if wd % wc:
-        raise ValueError(f"tile_w={wc} must divide w={wd}")
     nh = -(-h // th)
+    nw = -(-wd // wc)
+    wp = nw * wc
 
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h), (1, 1),
-                     (0, 0)))
+    # wc+8-wide windows for the same Mosaic divisibility rule as
+    # fused_act_causal_conv3d (only the first wc+2 columns are read)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + nh * th - h),
+                     (1, 7 + wp - wd), (0, 0)))
 
     halo = pl.BlockSpec(
         (pl.Element(1), pl.Element(t), pl.Element(th + 2),
-         pl.Element(wd + 2), pl.Element(cin)),
-        lambda bi, i: (bi, 0, i * th, 0, 0))
+         pl.Element(wc + 8), pl.Element(cin)),
+        lambda bi, i, j: (bi, 0, i * th, j * wc, 0))
 
     y = pl.pallas_call(
-        functools.partial(_up_kernel, t=t, th=th, wc=wc, wd=wd, cin=cin,
+        functools.partial(_up_kernel, t=t, th=th, wc=wc, cin=cin,
                           cout=cout, out_dtype=out_dtype),
-        grid=(bsz, nh),
+        grid=(bsz, nh, nw),
         in_specs=[
-            pl.BlockSpec((2, 2, 4 * cin, cout), lambda bi, i: (0, 0, 0, 0)),
-            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            pl.BlockSpec((2, 2, 4 * cin, cout),
+                         lambda bi, i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i, j: (0,)),
             halo,
         ],
-        out_specs=pl.BlockSpec((1, t, 2 * th, 2 * wd, cout),
-                               lambda bi, i: (bi, 0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, 2 * nh * th, 2 * wd, cout),
+        out_specs=pl.BlockSpec((1, t, 2 * th, 2 * wc, cout),
+                               lambda bi, i, j: (bi, 0, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, 2 * nh * th, 2 * wp, cout),
                                        out_dtype),
         scratch_shapes=[pltpu.VMEM((t * th * wc, 4 * cin), jnp.bfloat16)],
         interpret=interpret,
     )(w4, b, xp)
-    return y[:, :, :2 * h]
+    return y[:, :, :2 * h, :2 * wd]
