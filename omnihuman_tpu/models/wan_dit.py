@@ -243,7 +243,7 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
 
 def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
                    seq_lens, cfg: WanModelConfig, policy: DTypePolicy,
-                   attn_impl: str, audio_ctx=None):
+                   attn_impl: str, audio_ctx=None, ffn_impl: str = "xla"):
     rd = policy.residual
     """One transformer block. x, e0 fp32 (reference model.py:279-330).
 
@@ -289,6 +289,16 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
         x = x + y.astype(jnp.float32) * ap["gate"].astype(jnp.float32)
 
     # FFN with AdaLN modulation
+    if ffn_impl in ("pallas", "interpret"):
+        # serving fast path (ops/ffn_pallas.py): LN+modulate fused into
+        # fc1's prologue, GELU into fc2's prologue, the gated residual
+        # add into fc2's epilogue — kills the three exposed full-stream
+        # passes XLA leaves here (REPORTS/perf_r3.md). Forward-only.
+        from omnihuman_tpu.ops.ffn_pallas import fused_adaln_ffn
+        return fused_adaln_ffn(
+            x.astype(jnp.float32), e_ff_scale, e_ff_shift, e_ff_gate,
+            bp["ffn_fc1"], bp["ffn_fc2"], eps=cfg.eps, residual_dtype=rd,
+            interpret=ffn_impl == "interpret")
     h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
     h = h * (1.0 + e_ff_scale) + e_ff_shift
     h = _linear(bp["ffn_fc1"], h.astype(cd))
@@ -349,6 +359,7 @@ def wan_model_forward(
     collect_layers: Optional[Sequence[int]] = None,
     token_sharding=None,
     audio_ctx: Optional[jnp.ndarray] = None,
+    ffn_impl: str = "xla",
 ):
     """Velocity prediction v = model(x_t, t, context).
 
@@ -371,7 +382,8 @@ def wan_model_forward(
         rope_sin=rope_sin, rope_cos=rope_cos, n_tokens=n_tokens,
         context_lens=context_lens, clip_fea=clip_fea, policy=policy,
         remat=remat, attn_impl=attn_impl, collect_layers=collect_layers,
-        token_sharding=token_sharding, audio_ctx=audio_ctx)
+        token_sharding=token_sharding, audio_ctx=audio_ctx,
+        ffn_impl=ffn_impl)
 
     v = _unpatchify(out, grid, cfg).astype(jnp.float32)
     if collect_layers is not None:
@@ -398,6 +410,7 @@ def dit_body(
     collect_layers: Optional[Sequence[int]] = None,
     token_sharding=None,
     audio_ctx: Optional[jnp.ndarray] = None,
+    ffn_impl: str = "xla",
 ):
     """The shared DiT trunk on pre-built tokens: pad → shard → time/text
     embeds → block scan (plain / grouped remat / tapped) → modulated head.
@@ -457,7 +470,8 @@ def dit_body(
     block_fn = functools.partial(
         _block_forward, context=ctx, context_lens=context_lens,
         rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
-        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
+        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx,
+        ffn_impl=ffn_impl)
 
     # two-level (sqrt-L) rematerialisation: remat=<int g> groups the layer
     # scan into num_layers/g segments and checkpoints each SEGMENT, so the
