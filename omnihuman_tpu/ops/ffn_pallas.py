@@ -122,14 +122,17 @@ def ln_mod_gemm(
 
 
 def _gelu_gemm_kernel(m_ref, w_ref, b_ref, g_ref, r_ref, o_ref, acc_ref,
-                      *, nk, out_dtype):
+                      *, nk, out_dtype, apply_gelu):
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    mid = _gelu_tanh(m_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    if apply_gelu:
+        mid = _gelu_tanh(m_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        mid = m_ref[0].astype(jnp.bfloat16)
     acc_ref[...] += jax.lax.dot_general(
         mid, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -144,7 +147,8 @@ def _gelu_gemm_kernel(m_ref, w_ref, b_ref, g_ref, r_ref, o_ref, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block_m", "block_n", "block_k", "interpret", "out_dtype"))
+    "block_m", "block_n", "block_k", "interpret", "out_dtype",
+    "apply_gelu"))
 def gelu_gemm_gate_add(
     mid: jnp.ndarray,        # [B, S, F] raw fc1 output (pre-GELU), bf16
     w: jnp.ndarray,          # [F, N] bf16
@@ -156,9 +160,12 @@ def gelu_gemm_gate_add(
     block_k: int = 1536,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    apply_gelu: bool = True,
 ) -> jnp.ndarray:
-    """residual + (gelu(mid) @ w + b)·gate — the fc2 half of the FFN with
-    the gated residual update fused into the epilogue."""
+    """residual + (act(mid) @ w + b)·gate — the fc2 half of the FFN with
+    the gated residual update fused into the epilogue. apply_gelu=False
+    turns it into a plain projection + gated residual add (the
+    attention o-proj epilogue)."""
     bsz, s, f = mid.shape
     n = w.shape[-1]
     mb = _pick_block(s, block_m, 8)
@@ -167,7 +174,8 @@ def gelu_gemm_gate_add(
     nk = f // kb
     grid = (bsz, s // mb, n // nb, nk)
     return pl.pallas_call(
-        functools.partial(_gelu_gemm_kernel, nk=nk, out_dtype=out_dtype),
+        functools.partial(_gelu_gemm_kernel, nk=nk, out_dtype=out_dtype,
+                          apply_gelu=apply_gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, mb, kb), lambda bi, mi, ni, ki: (bi, mi, ki)),

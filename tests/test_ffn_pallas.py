@@ -135,3 +135,42 @@ def test_wan_forward_ffn_impl_parity():
     err = float(jnp.max(jnp.abs(v_fused - v_xla)))
     scale = float(jnp.max(jnp.abs(v_xla))) + 1e-6
     assert err / scale < 2e-2, (err, scale)
+
+
+def test_wan_forward_ffn_impl_parity_i2v():
+    """i2v variant: the fused cross-attention path includes the CLIP
+    image-token branch (separate K/V projections)."""
+    import dataclasses
+    import math
+    from omnihuman_tpu.configs.wan import TINY_TEST
+    from omnihuman_tpu.models.wan_dit import (init_wan_model,
+                                              wan_model_forward)
+    from omnihuman_tpu.ops.rope import rope_angles_3d
+
+    cfg = dataclasses.replace(TINY_TEST.model, model_type="i2v",
+                              in_dim=36, clip_tokens=4,
+                              clip_embed_dim=48)
+    r = np.random.default_rng(5)
+    params = init_wan_model(jax.random.key(1), cfg)
+    params["head"]["w"] = jnp.asarray(
+        r.normal(size=params["head"]["w"].shape) * 0.1, jnp.float32)
+    Fr, H, W = 3, 8, 8
+    grid = (Fr // cfg.patch_size[0], H // cfg.patch_size[1],
+            W // cfg.patch_size[2])
+    n_tok = math.prod(grid)
+    sin, cos = rope_angles_3d(grid, cfg.head_dim, seq_len=n_tok)
+    x = jnp.asarray(r.normal(size=(1, 16, Fr, H, W)), jnp.float32)
+    y = jnp.asarray(r.normal(size=(1, 20, Fr, H, W)), jnp.float32)
+    clip = jnp.asarray(r.normal(size=(1, cfg.clip_tokens,
+                                      cfg.clip_embed_dim)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(r.normal(size=(1, 16, cfg.text_dim)), jnp.float32)
+
+    kw = dict(cfg=cfg, seq_len=n_tok, rope_sin=sin, rope_cos=cos,
+              remat=False, y=y, clip_fea=clip)
+    v_xla = wan_model_forward(params, x, t, ctx, **kw)
+    v_fused = wan_model_forward(params, x, t, ctx, ffn_impl="interpret",
+                                **kw)
+    err = float(jnp.max(jnp.abs(v_fused - v_xla)))
+    scale = float(jnp.max(jnp.abs(v_xla))) + 1e-6
+    assert err / scale < 2e-2, (err, scale)
