@@ -160,6 +160,8 @@ def main(argv=None):
                               jnp.float32)
 
     sol = FlowDPMSolver(steps=args.num_inference_steps, shift=1.0)
+    from omnihuman_tpu.ops.ffn_pallas import resolve_ffn_impl
+    ffn_impl = resolve_ffn_impl()   # fused GEMMs on single-chip TPU
 
     def model_fn(x, t, i):
         # CFG annealing (omnihuman_wan_t2v.py:432-438):
@@ -170,10 +172,12 @@ def main(argv=None):
         v_c = omni_model_forward(params, x, tb, ctx, cfg=ocfg, audio=audio,
                                  pose=pose, ref_latent=ref_lat,
                                  context_lens=ctx_lens,
-                                 policy=policy, remat=False)
+                                 policy=policy, remat=False,
+                                 ffn_impl=ffn_impl)
         v_u = omni_model_forward(params, x, tb, ctx_null, cfg=ocfg,
                                  context_lens=null_lens,
-                                 policy=policy, remat=False)
+                                 policy=policy, remat=False,
+                                 ffn_impl=ffn_impl)
         return v_u + cfg_t * (v_c - v_u)
 
     latents = jax.jit(lambda z: sol.sample_loop(model_fn, z))(noise)

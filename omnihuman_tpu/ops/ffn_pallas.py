@@ -218,3 +218,14 @@ def fused_adaln_ffn(
     return gelu_gemm_gate_add(mid, fc2["w"], fc2["b"], gate[:, 0], x,
                               interpret=interpret,
                               out_dtype=residual_dtype)
+
+
+def resolve_ffn_impl(requested: str = "auto", mesh=None) -> str:
+    """Serving-path resolution: the fused kernels need the TPU backend
+    and NO active mesh (bare pallas_call cannot be GSPMD-partitioned).
+    Trainers should not call this — the kernels are forward-only."""
+    if requested != "auto":
+        return requested
+    if mesh is not None:
+        return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
