@@ -353,9 +353,18 @@ class InceptionFeatures:
     documented in the module docstring).
     """
 
+    _param_cache: Dict[tuple, Params] = {}
+
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0,
                  batch_size: int = 16):
-        if weights_path:
+        # params memoized per (path, seed): evaluators are constructed
+        # per-run/per-test and the ~24M-param init/convert is pure
+        key = (weights_path, seed)
+        cached = self._param_cache.get(key)
+        if cached is not None:
+            self.params = cached
+            self.pretrained = bool(weights_path)
+        elif weights_path:
             from omnihuman_tpu.utils.convert import load_torch_state_dict
             self.params = convert_inception_torch(
                 load_torch_state_dict(weights_path))
@@ -363,6 +372,7 @@ class InceptionFeatures:
         else:
             self.params = init_inception(jax.random.key(seed))
             self.pretrained = False
+        self._param_cache[key] = self.params
         self.batch_size = batch_size
 
     def _batched(self, frames: np.ndarray, with_logits: bool):

@@ -18,6 +18,8 @@ and its flash_attention is replaced by an exact fp32 SDPA with identical
 varlen masking (tests/ref_compat.py).
 """
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -121,12 +123,15 @@ def test_dit_i2v_parity_tiny():
 
 
 def test_dit_t2v_parity_real_1_3b_dims():
-    """Full 1.3B parameter count (wan_t2v_1_3B.py:16-29) on a small latent —
-    the conversion gate at real tensor shapes (VERDICT missing #1)."""
+    """Real 1.3B TENSOR WIDTHS (wan_t2v_1_3B.py:16-29) on a small latent —
+    the conversion gate at real shapes (VERDICT missing #1). Depth is cut
+    30→6: every layer repeats identical shapes (per-layer stacking is
+    covered by the tiny tests), and full depth cost 401 s of the suite's
+    wall on the 1-core box (VERDICT r2 weak #7) for no added coverage."""
     ref_cfg = dict(model_type="t2v", patch_size=(1, 2, 2), text_len=512,
                    in_dim=16, dim=1536, ffn_dim=8960, freq_dim=256,
-                   text_dim=4096, out_dim=16, num_heads=12, num_layers=30)
-    ours = WanModelConfig()  # defaults are exactly t2v-1.3B
+                   text_dim=4096, out_dim=16, num_heads=12, num_layers=6)
+    ours = dataclasses.replace(WanModelConfig(), num_layers=6)
     _dit_parity(ref_cfg, ours, (16, 1, 16, 16), seq_len=64,
                 ctx_lens=[512], atol=5e-4)
 
@@ -237,17 +242,19 @@ def test_clip_parity_tiny():
 
 def test_clip_parity_real_vit_h_14_dims():
     """Real ViT-H/14 visual topology (clip_xlm_roberta_vit_h_14,
-    clip.py:471-499: 32 layers, dim 1280, patch 14, 257 tokens — exactly
+    clip.py:471-499: dim 1280, patch 14, 257 tokens — exactly
     what i2v-14B serving consumes) with a reduced text tower to keep the
     250k-vocab embedding out of the test budget. The i2v conversion gate
-    (VERDICT round-2 missing #3)."""
+    (VERDICT round-2 missing #3). Vision depth cut 32→4 (identical layer
+    shapes repeat; the 32-layer run cost 133 s of suite wall for no
+    added conversion coverage — VERDICT r2 weak #7)."""
     ref_kw = dict(embed_dim=1024, image_size=224, patch_size=14,
                   vision_dim=1280, vision_mlp_ratio=4, vision_heads=16,
-                  vision_layers=32, activation="gelu", vocab_size=64,
+                  vision_layers=4, activation="gelu", vocab_size=64,
                   max_text_len=514, type_size=1, pad_id=1, text_dim=64,
                   text_heads=4, text_layers=2, text_dropout=0.0)
     cfg = CLIPConfig(vocab_size=64, text_dim=64, text_heads=4,
-                     text_layers=2)
+                     text_layers=2, vision_layers=4)
     _clip_parity(ref_kw, cfg, batch=1, atol=5e-4)
 
 
