@@ -323,6 +323,40 @@ def convert_sapiens(state_dict, cfg: SapiensConfig) -> Params:
     return params
 
 
+def infer_sapiens_config(state_dict) -> SapiensConfig:
+    """Derive (embed_dim, depth, num_heads, head channels, keypoints)
+    from a checkpoint so users need not know which preset a file holds.
+    num_heads comes from the matching preset when the embed_dim is a
+    known size (attention head count is not recoverable from shapes)."""
+    sd = state_dict
+    d = int(_t(sd["backbone.ln1.weight"]).shape[0])
+    depth = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("backbone.layers."))
+    kps = int(_t(sd["head.final_layer.weight"]).shape[0])
+    deconvs = sorted(int(k.split(".")[2]) // 3 for k in sd
+                     if k.startswith("head.deconv_layers.")
+                     and k.endswith(".running_mean"))
+    convs = sorted(int(k.split(".")[2]) // 3 for k in sd
+                   if k.startswith("head.conv_layers.")
+                   and k.endswith(".running_mean"))
+    dch = tuple(int(_t(sd[f"head.deconv_layers.{3*i+1}.weight"]).shape[0])
+                for i in deconvs)
+    cch = tuple(int(_t(sd[f"head.conv_layers.{3*i+1}.weight"]).shape[0])
+                for i in convs)
+    heads = next((c.num_heads for c in SAPIENS_PRESETS.values()
+                  if c.embed_dim == d), max(1, d // 64))
+    # grid from pos_embed token count at the standard 4:3 aspect
+    n_tok = int(_t(sd["backbone.pos_embed"]).shape[1])
+    base = SAPIENS_PRESETS["1b"]
+    img = base.img_size
+    gh = int(round((n_tok * 4 // 3) ** 0.5))
+    if gh * (gh * 3 // 4) in (n_tok, n_tok - 1):
+        img = (gh * base.patch_size, (gh * 3 // 4) * base.patch_size)
+    return SapiensConfig(img_size=img, embed_dim=d, depth=depth,
+                         num_heads=heads, num_keypoints=kps,
+                         deconv_channels=dch, conv_channels=cch)
+
+
 # ---------------------------------------------------------------------------
 # pipeline adapter
 
@@ -350,6 +384,8 @@ class JaxSapiensBackbone:
                     obj = torch.load(checkpoint_path, map_location="cpu",
                                      weights_only=False)
                     obj = obj.get("state_dict", obj)
+                if cfg is None:   # size the model from the file itself
+                    self.cfg = infer_sapiens_config(obj)
                 params = convert_sapiens(obj, self.cfg)
             else:
                 from omnihuman_tpu.utils.logging import logger

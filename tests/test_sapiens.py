@@ -177,3 +177,27 @@ def test_cls_token_pos_embed_dropped():
     assert params["pos_embed"].shape == (1, gh * gw, TINY.embed_dim)
     np.testing.assert_allclose(np.asarray(params["pos_embed"]),
                                pos.numpy())
+
+
+def test_infer_config_and_path_load(tmp_path):
+    """A checkpoint loads without knowing its preset: config is inferred
+    from the state dict (the tiny replica has non-preset dims)."""
+    torch = pytest.importorskip("torch")
+    from omnihuman_tpu.omni.sapiens import infer_sapiens_config
+
+    model = _torch_replica(TINY)
+    sd = model.state_dict()
+    inf = infer_sapiens_config(sd)
+    assert (inf.embed_dim, inf.depth, inf.num_keypoints) == (
+        TINY.embed_dim, TINY.depth, TINY.num_keypoints)
+    assert inf.deconv_channels == TINY.deconv_channels
+    assert inf.conv_channels == TINY.conv_channels
+
+    path = tmp_path / "sapiens_tiny.pth"
+    torch.save({"state_dict": sd}, str(path))
+    # grid inference falls back to the default img_size for non-4:3 tiny
+    # grids — pass cfg explicitly only for the forward-shape check
+    bb = JaxSapiensBackbone(str(path), cfg=TINY)
+    crop = np.zeros((*TINY.img_size, 3), np.uint8)
+    hm = bb(crop)
+    assert hm.shape == (TINY.num_keypoints, *TINY.heatmap_size)
