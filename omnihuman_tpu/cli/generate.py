@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch or sequential cond/uncond (default: the "
                         "memory-validated mode per model/resolution, "
                         "REPORTS/memory_14B.md)")
+    p.add_argument("--export_step", default=None, metavar="PATH",
+                   help="instead of generating, export the denoise step "
+                        "for this task/size/frame_num as a serialized "
+                        "StableHLO serving artifact (utils/export.py)")
+    p.add_argument("--export_platform", default="tpu",
+                   choices=["tpu", "cpu"])
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the generation")
     p.add_argument("--use_prompt_extend", action="store_true",
@@ -74,6 +80,18 @@ def main(argv=None):
                      f"{list(SIZE_CONFIGS)}")
     frame_num = args.frame_num or (1 if args.task == "t2i-14B"
                                    else cfg.frame_num)
+
+    if args.export_step:
+        from omnihuman_tpu.utils.export import export_t2v_denoise_step
+        guide = (args.sample_guide_scale
+                 if args.sample_guide_scale is not None
+                 else cfg.sample_guide_scale)
+        path = export_t2v_denoise_step(
+            cfg, (w, h), frame_num, args.export_step, guide_scale=guide,
+            platforms=(args.export_platform,),
+            cfg_mode=args.cfg_mode or "fused")
+        logger.info(f"exported serving step -> {path} (+.json sidecar)")
+        return path
 
     if args.use_prompt_extend:
         # reference CLI surface: --use_prompt_extend with dashscope/qwen
