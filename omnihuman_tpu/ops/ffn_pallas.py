@@ -56,6 +56,39 @@ def _pick_block(n: int, cap: int, align: int = 128) -> int:
     return best
 
 
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fit_blocks(s: int, n: int, cap_m: int, cap_n: int,
+                row_bytes, fixed_bytes) -> Tuple[int, int]:
+    """(mb, nb) whose Mosaic working set fits the scoped-VMEM budget.
+
+    row_bytes(nb) / fixed_bytes(nb) are callables modelling bytes per
+    token row and nb-dependent fixed cost, BOTH including the 2x
+    double-buffering of streamed blocks (a single-counted model produced
+    a 17.3M > 16M rejection at 14B widths — real-compiler AOT)."""
+    nb = _pick_block(n, cap_n)
+    # keep the nb-dependent fixed cost (the resident weight block) at or
+    # under half the budget before squeezing the token dim — a tiny mb
+    # starves the MXU harder than a narrower nb does
+    while fixed_bytes(nb) > _VMEM_BUDGET // 2:
+        nxt = _pick_block(n, nb // 2)
+        if nxt >= nb:
+            break
+        nb = nxt
+    mb = _pick_block(s, cap_m, 8)
+    while fixed_bytes(nb) + mb * row_bytes(nb) > _VMEM_BUDGET:
+        nxt = _pick_block(s, mb // 2, 8)
+        if nxt < mb:
+            mb = nxt
+            continue
+        nn = _pick_block(n, nb // 2)
+        if nn >= nb:
+            break
+        nb = nn
+    return mb, nb
+
+
 # ---------------------------------------------------------------------------
 # kernel 1: LN -> AdaLN modulate -> GEMM (+bias)
 
@@ -91,8 +124,12 @@ def ln_mod_gemm(
     """layer_norm(x)·(1+scale)+shift, then @w + b — one pass, bf16 out."""
     bsz, s, k = x.shape
     n = w.shape[-1]
-    mb = _pick_block(s, block_m, 8)
-    nb = _pick_block(n, block_n)
+    # rows: x f32 (2x streamed) + bf16 cast + out (2x) + acc;
+    # fixed: w block (2x) + modulation vectors
+    mb, nb = _fit_blocks(
+        s, n, block_m, block_n,
+        row_bytes=lambda nb: k * 10 + nb * 8,
+        fixed_bytes=lambda nb: k * nb * 4 + 4 * k * 4)
     grid = (bsz, s // mb, n // nb)
     return pl.pallas_call(
         functools.partial(_ln_mod_kernel, eps=eps),
@@ -168,9 +205,13 @@ def gelu_gemm_gate_add(
     attention o-proj epilogue)."""
     bsz, s, f = mid.shape
     n = w.shape[-1]
-    mb = _pick_block(s, block_m, 8)
-    nb = _pick_block(n, block_n)
     kb = _pick_block(f, block_k)
+    # rows: mid chunk bf16 (2x streamed) + f32 gelu temp + acc f32 +
+    # res f32 (2x) + out (2x); fixed: w chunk (2x) + bias/gate
+    mb, nb = _fit_blocks(
+        s, n, block_m, block_n,
+        row_bytes=lambda nb: kb * 8 + nb * 20,
+        fixed_bytes=lambda nb: kb * nb * 4 + nb * 16)
     nk = f // kb
     grid = (bsz, s // mb, n // nb, nk)
     return pl.pallas_call(
