@@ -111,3 +111,58 @@ def export_t2v_denoise_step(
                   "size": list(size), "frame_num": frame_num,
                   "seq_len": seq_len, "guide_scale": guide_scale,
                   "cfg_mode": cfg_mode, "ffn_impl": ffn_impl})
+
+
+def export_i2v_denoise_step(
+    config, size: Tuple[int, int], frame_num: int, path: str,
+    guide_scale: float = 5.0, platforms: Tuple[str, ...] = ("tpu",),
+    cfg_mode: str = "fused", ffn_impl: str = "xla",
+    param_dtype=None) -> str:
+    """i2v variant: signature (params, x, t, ctx2, y2, clip2, rope_sin,
+    rope_cos) — y2 is the [mask ++ reference-latent] channel concat and
+    clip2 the CLIP image tokens, both stacked cond/uncond like ctx2."""
+    import math
+
+    import jax.numpy as jnp
+
+    from omnihuman_tpu.models.wan_dit import init_wan_model
+    from omnihuman_tpu.pipelines.image2video import _i2v_cfg_model_step
+
+    mcfg = config.model
+    pd = param_dtype or jnp.bfloat16
+    w, h = size
+    lat_f = (frame_num - 1) // config.vae_stride[0] + 1
+    lat_h, lat_w = h // config.vae_stride[1], w // config.vae_stride[2]
+    grid = tuple(s // p for s, p in zip((lat_f, lat_h, lat_w),
+                                        mcfg.patch_size))
+    seq_len = -(-math.prod(grid) // 1024) * 1024
+
+    params = jax.eval_shape(lambda k: init_wan_model(k, mcfg),
+                            jax.random.key(0))
+    params = jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct(t.shape, pd), params)
+    sd = jax.ShapeDtypeStruct
+    shapes = (
+        params,
+        sd((1, 16, lat_f, lat_h, lat_w), jnp.float32),    # x (z channels)
+        sd((), jnp.float32),
+        sd((2, mcfg.text_len, mcfg.text_dim), pd),
+        sd((2, mcfg.in_dim - 16, lat_f, lat_h, lat_w), jnp.float32),  # y2
+        sd((2, mcfg.clip_tokens, mcfg.clip_embed_dim), pd),           # clip2
+        sd((seq_len, mcfg.head_dim // 2), jnp.float32),
+        sd((seq_len, mcfg.head_dim // 2), jnp.float32),
+    )
+
+    def step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos):
+        return _i2v_cfg_model_step(
+            params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
+            model_cfg=mcfg, policy=config.policy, seq_len=seq_len,
+            guide_scale=float(guide_scale), cfg_mode=cfg_mode,
+            ffn_impl=ffn_impl)
+
+    return export_jitted(
+        step, shapes, path, platforms=platforms,
+        metadata={"config": getattr(config, "name", "?"), "task": "i2v",
+                  "size": list(size), "frame_num": frame_num,
+                  "seq_len": seq_len, "guide_scale": guide_scale,
+                  "cfg_mode": cfg_mode, "ffn_impl": ffn_impl})

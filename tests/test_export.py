@@ -64,3 +64,44 @@ def test_export_tpu_platform_serializes(tmp_path):
     export_t2v_denoise_step(cfg, size, frames, path, platforms=("tpu",))
     art = load_exported(path)
     assert tuple(art.platforms) == ("tpu",)
+
+
+def test_export_i2v_roundtrip(tmp_path):
+    import dataclasses
+    import math
+    from omnihuman_tpu.utils.export import export_i2v_denoise_step
+
+    base = TINY_TEST
+    mcfg = dataclasses.replace(base.model, model_type="i2v", in_dim=36,
+                               clip_tokens=4, clip_embed_dim=48)
+    cfg = dataclasses.replace(base, model=mcfg)
+    size, frames = (32, 32), 5
+    path = str(tmp_path / "i2v_step.bin")
+    export_i2v_denoise_step(cfg, size, frames, path, platforms=("cpu",))
+
+    lat = (16, (frames - 1) // cfg.vae_stride[0] + 1,
+           size[1] // cfg.vae_stride[1], size[0] // cfg.vae_stride[2])
+    grid = tuple(s // p for s, p in zip(lat[1:], mcfg.patch_size))
+    seq_len = -(-math.prod(grid) // 1024) * 1024
+    r = np.random.default_rng(1)
+    params = jax.tree.map(lambda t: t.astype(jnp.bfloat16),
+                          init_wan_model(jax.random.key(0), mcfg))
+    params["head"]["w"] = jnp.asarray(
+        r.normal(size=params["head"]["w"].shape) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(r.normal(size=(1, *lat)), jnp.float32)
+    t = jnp.asarray(500.0, jnp.float32)
+    ctx2 = jnp.asarray(r.normal(size=(2, mcfg.text_len, mcfg.text_dim)),
+                       jnp.bfloat16)
+    y2 = jnp.asarray(r.normal(size=(2, 20, *lat[1:])), jnp.float32)
+    clip2 = jnp.asarray(
+        r.normal(size=(2, mcfg.clip_tokens, mcfg.clip_embed_dim)),
+        jnp.bfloat16)
+    sin, cos = rope_angles_3d(grid, mcfg.head_dim, seq_len=seq_len)
+
+    from omnihuman_tpu.pipelines.image2video import _i2v_cfg_model_step
+    art = load_exported(path)
+    got = np.asarray(art.call(params, x, t, ctx2, y2, clip2, sin, cos))
+    want = np.asarray(_i2v_cfg_model_step(
+        params, x, t, ctx2, y2, clip2, sin, cos, model_cfg=mcfg,
+        policy=cfg.policy, seq_len=seq_len, guide_scale=5.0))
+    assert float(np.max(np.abs(got - want))) < 1e-5
