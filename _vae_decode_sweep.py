@@ -26,6 +26,22 @@ params = jax.jit(lambda k: jax.tree.map(
 jax.block_until_ready(params)
 z = jnp.asarray(rng.normal(size=(1, 16, 21, 60, 104)), jnp.bfloat16)
 
+if "encode" in sys.argv[1:]:
+    from omnihuman_tpu.models.vae import vae_encode
+    vid = jnp.asarray(rng.normal(size=(1, 3, 81, 480, 832)) * 0.3,
+                      jnp.bfloat16)
+    for impl in ("xla", "pallas"):
+        f = jax.jit(lambda p, v, impl=impl: vae_encode(
+            p, v, cfg, streaming=True, conv_impl=impl))
+        out = f(params, vid); jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(params, vid))
+            ts.append(time.perf_counter() - t0)
+        print(f"encode {impl}: {np.median(ts)*1e3:.0f} ms", flush=True)
+    sys.argv = [a for a in sys.argv if a != "encode"]
+
 ref = None
 for spec in sys.argv[1:]:
     m = re.fullmatch(r"fc(\d+)u(\d+)(p?)", spec)
