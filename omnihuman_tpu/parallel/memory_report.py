@@ -111,7 +111,8 @@ def _stats_dict(compiled) -> Dict[str, float]:
 
 def _shardings(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(
-        lambda s: NamedSharding(mesh, s), infer_param_specs(tree))
+        lambda s: NamedSharding(mesh, s),
+        infer_param_specs(tree, axis_size=mesh.shape.get("fsdp")))
 
 
 def latent_geometry(cfg, size: Tuple[int, int], frame_num: int):
@@ -259,7 +260,8 @@ def analyze_pipeline_cfg_step(
     params_abs = jax.tree.map(
         lambda s, spec: jax.ShapeDtypeStruct(
             s.shape, s.dtype, sharding=NamedSharding(mesh, spec)),
-        params_shape, infer_param_specs(params_shape))
+        params_shape,
+        infer_param_specs(params_shape, axis_size=mesh.shape.get("fsdp")))
 
     repl = NamedSharding(mesh, P())
     ab = lambda shape, dtype=jnp.float32: jax.ShapeDtypeStruct(

@@ -26,22 +26,31 @@ def infer_param_specs(
     params: Any,
     min_size: int = MIN_SHARD_SIZE,
     axis: str = AXIS_FSDP,
+    axis_size: Optional[int] = None,
 ) -> Any:
     """PartitionSpec pytree for a params pytree.
 
-    Rule: shard the largest dimension of every big leaf on `fsdp`, provided
-    it divides evenly enough to stay aligned; everything else replicated.
+    Rule: shard the largest dimension of every big leaf on `fsdp` that the
+    axis size divides evenly (jit argument shardings require divisibility —
+    e.g. the omni pose guider's 308-keypoint dim cannot shard over fsdp=16);
+    if no dimension divides, the leaf stays replicated. When `axis_size` is
+    None the divisibility check is skipped (callers without a mesh).
     The rule is shape-driven rather than name-driven so it works for every
-    model family in the repo (DiT / VAE / T5 / CLIP) without a registry.
+    model family in the repo (DiT / VAE / T5 / CLIP / omni) without a
+    registry.
     """
 
     def spec_for(leaf: jax.ShapeDtypeStruct) -> P:
         shape = leaf.shape
         if not shape or leaf.size < min_size:
             return P()
-        # largest dim, ties broken toward the last (lane) dimension which is
-        # typically the 128-aligned one
-        best = max(range(len(shape)), key=lambda i: (shape[i], i))
+        # largest shardable dim, ties broken toward the last (lane)
+        # dimension which is typically the 128-aligned one
+        cands = [i for i in range(len(shape))
+                 if axis_size is None or shape[i] % axis_size == 0]
+        if not cands:
+            return P()
+        best = max(cands, key=lambda i: (shape[i], i))
         spec = [None] * len(shape)
         spec[best] = axis
         return P(*spec)
@@ -52,7 +61,8 @@ def infer_param_specs(
 def shard_params(params: Any, mesh: Mesh, specs: Optional[Any] = None) -> Any:
     """Place a params pytree onto the mesh according to `specs`."""
     if specs is None:
-        specs = infer_param_specs(params)
+        specs = infer_param_specs(
+            params, axis_size=mesh.shape.get(AXIS_FSDP))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -74,6 +74,32 @@ def test_sharded_params_placement(sharded_pipe):
     assert "fsdp" in str(specs["blocks"]["ffn_fc1"]["w"])
 
 
+def test_infer_param_specs_respects_axis_divisibility():
+    """jit argument shardings require the sharded dim to divide by the
+    axis size — e.g. the omni pose guider's 308-keypoint conv dim over
+    fsdp=16 (found by the omni-14B AOT memory run). The rule must fall
+    back to the largest DIVISIBLE dim, or replicate."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from omnihuman_tpu.parallel import infer_param_specs
+
+    leaf = jax.ShapeDtypeStruct((3, 3, 3, 308, 128), jnp.bfloat16)
+    # 308 % 16 != 0 → dim 4 (128) is the largest divisible dim
+    assert infer_param_specs(leaf, min_size=1, axis_size=16) == P(
+        None, None, None, None, "fsdp")
+    # 308 % 4 == 0 → the largest dim wins again
+    assert infer_param_specs(leaf, min_size=1, axis_size=4) == P(
+        None, None, None, "fsdp", None)
+    # nothing divides → replicated instead of a compile error
+    odd = jax.ShapeDtypeStruct((307, 127), jnp.bfloat16)
+    assert infer_param_specs(odd, min_size=1, axis_size=16) == P()
+    # no axis size (no mesh in scope) → legacy size-driven choice
+    assert infer_param_specs(leaf, min_size=1) == P(
+        None, None, None, "fsdp", None)
+
+
 def test_mesh_pipeline_uses_ring_plan(sharded_pipe):
     """A mesh-built pipeline must route self-attention through the
     shard_map ring path — the ONLY path that compiles on real TPUs
