@@ -157,10 +157,13 @@ def main(argv=None):
                         [s["conditions"]["audio"] for s in samples]))
                 if all("pose" in s["conditions"] for s in samples):
                     # [K, T_pixel, h, w] → latent frame rate (stride 4,
-                    # matching the VAE's temporal compression)
+                    # matching the VAE's temporal compression). bf16: the
+                    # [0,1] Gaussian heatmaps don't need fp32, and at 308
+                    # keypoints × full spatial res the fp32 tensor alone
+                    # is ~6.4 GiB at 480p·81f (the omni-14B AOT OOM).
                     out["pose"] = jnp.asarray(np.stack(
                         [s["conditions"]["pose"][:, ::4][:, :ocfg.num_frames]
-                         for s in samples]))
+                         for s in samples]), jnp.bfloat16)
                 yield out
 
         return it()

@@ -447,10 +447,16 @@ def analyze_omni_step(
                                       jnp.float32),
         "pose": jax.ShapeDtypeStruct(
             (b, ocfg.num_keypoints, f_lat, 2 * lat_h, 2 * lat_w),
-            jnp.float32),
+            jnp.bfloat16),
     }
     repl = NamedSharding(mesh, P())
     batch_sh = jax.tree.map(lambda _: repl, batch_s)
+    # pose heatmaps shard H over sp (matches TrainMeshPlan.put_batch —
+    # replicated fp32 pose alone is ~6.4 GiB at 480p·81f, the original
+    # OOM driver of this analysis)
+    if sp > 1 and (2 * lat_h) % sp == 0:
+        batch_sh["pose"] = NamedSharding(
+            mesh, P(None, None, None, "sp", None))
     key_abs = jax.eval_shape(lambda: jax.random.key(0))
     ratios = {"audio": 1.0, "pose": 1.0, "reference": 1.0}
     token_sharding = NamedSharding(mesh, P(None, "sp", None))
@@ -478,6 +484,16 @@ def analyze_omni_step(
 def main(argv=None):  # pragma: no cover - exercised by the report script
     import argparse
     import json
+
+    # The analyses compile against an abstract topology; nothing needs a
+    # live device. Pin the default backend to CPU so stray eager ops
+    # can't init the axon TPU plugin — during a tunnel outage that init
+    # hangs indefinitely (observed 2026-08-18), defeating the tool's
+    # chipless purpose.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
     p = argparse.ArgumentParser("memory-report")
     p.add_argument("--task", default="i2v-14B")

@@ -87,11 +87,27 @@ class TrainMeshPlan:
         return shard_params(tree, self.mesh)
 
     def put_batch(self, batch: Any) -> Any:
-        """Shard a host batch on the data axis (no-op without a mesh)."""
+        """Shard a host batch on the data axis (no-op without a mesh).
+
+        Pose heatmaps [B, K, F, H, W] additionally shard H over `sp`:
+        at 308 keypoints × full spatial res the tensor is GiB-scale
+        (the omni-14B AOT OOM driver) and the guider is a conv stack,
+        which GSPMD spatially partitions with halo exchanges."""
         if self.mesh is None:
             return batch
-        return jax.tree.map(
-            lambda x: jax.device_put(x, self.batch_sharding), batch)
+
+        def put(key, x):
+            sh = self.batch_sharding
+            if (key == "pose" and getattr(x, "ndim", 0) == 5
+                    and x.shape[3] % self.sp == 0):
+                sh = NamedSharding(self.mesh,
+                                   P("data", None, None, "sp", None))
+            return jax.device_put(x, sh)
+
+        if isinstance(batch, dict):
+            return {k: put(k, v) for k, v in batch.items()}
+        return jax.tree.map(lambda x: jax.device_put(
+            x, self.batch_sharding), batch)
 
     def mesh_context(self):
         """Context manager activating the mesh for shard_map attention

@@ -38,6 +38,27 @@ MESH_ARGS = ["--fsdp_size", "2", "--sp_size", "2"]  # data absorbs → 2
 
 
 @needs_mesh
+def test_put_batch_shards_pose_spatially():
+    """Pose heatmaps [B,K,F,H,W] must shard H over sp: replicated fp32
+    pose is GiB-scale at 308 kp full-res (the omni-14B AOT OOM driver);
+    every other leaf shards on data only."""
+    from omnihuman_tpu.parallel.train_mesh import TrainMeshPlan
+
+    plan = TrainMeshPlan.from_sizes(fsdp_size=2, sp_size=2)
+    batch = {
+        "frames": np.zeros((2, 4, 1, 4, 4), np.float32),
+        "pose": np.zeros((2, 8, 1, 4, 4), np.float32),
+    }
+    out = plan.put_batch(batch)
+    pose_spec = out["pose"].sharding.spec
+    assert pose_spec[3] == "sp" and pose_spec[0] == "data"
+    assert out["frames"].sharding.spec[0] == "data"
+    # odd H (not divisible by sp) falls back to data-only sharding
+    odd = plan.put_batch({"pose": np.zeros((2, 8, 1, 5, 4), np.float32)})
+    assert "sp" not in str(odd["pose"].sharding.spec)
+
+
+@needs_mesh
 def test_train_distill_cli_mesh(teacher_npz, tmp_path):
     from omnihuman_tpu.cli import train_distill
     out = str(tmp_path / "distill_mesh")
