@@ -507,6 +507,9 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
     p.add_argument("--mesh", default="data:1,fsdp:4,sp:2")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat", type=int, default=8,
+                   help="remat group size for --what omni (int groups; "
+                        "the wan remat ladder, wan_dit.py)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.size.replace("x", "*").split("*"))
     mesh_shape = {k: int(v) for k, v in
@@ -521,7 +524,7 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
                                           cfg_mode=args.cfg_mode)
     elif args.what == "omni":
         stats = analyze_omni_step(args.task, (w, h), args.frame_num,
-                                  mesh_shape, args.batch)
+                                  mesh_shape, args.batch, remat=args.remat)
     else:
         stats = analyze_apt_steps(args.task, (w, h), args.frame_num,
                                   mesh_shape, args.batch)
