@@ -22,13 +22,19 @@ print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
 
 
+def _sync(out):
+    # scalar fetch: block_until_ready does not truly block on this
+    # backend (queue-depth-1 backpressure); fetch one element instead
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.reshape(-1)[0]))
+
+
 def bench(f, *args, n=10):
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(f(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        _sync(f(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts) * 1e3)
 

@@ -33,11 +33,12 @@ if "encode" in sys.argv[1:]:
     for impl in ("xla", "pallas"):
         f = jax.jit(lambda p, v, impl=impl: vae_encode(
             p, v, cfg, streaming=True, conv_impl=impl))
-        out = f(params, vid); jax.block_until_ready(out)
+        out = f(params, vid)
+        float(jnp.sum(out[:, 0, 0, 0, 0]))   # honest sync (see below)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(params, vid))
+            float(jnp.sum(f(params, vid)[:, 0, 0, 0, 0]))
             ts.append(time.perf_counter() - t0)
         print(f"encode {impl}: {np.median(ts)*1e3:.0f} ms", flush=True)
     sys.argv = [a for a in sys.argv if a != "encode"]
@@ -64,7 +65,10 @@ for spec in sys.argv[1:]:
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(params, z))
+        # scalar fetch: on this backend block_until_ready does not truly
+        # block (queue-depth-1 backpressure) — a device->host fetch is
+        # the honest sync (same as bench.py)
+        float(jnp.sum(f(params, z)[:, 0, 0, 0, 0]))
         ts.append(time.perf_counter() - t0)
     print(f"{spec}: {np.median(ts)*1e3:.0f} ms  (compile {compile_s:.0f}s)",
           flush=True)

@@ -262,11 +262,13 @@ def fused_adaln_ffn(
 
 
 def resolve_ffn_impl(requested: str = "auto", mesh=None) -> str:
-    """Serving-path resolution: the fused kernels need the TPU backend
-    and NO active mesh (bare pallas_call cannot be GSPMD-partitioned).
-    Trainers should not call this — the kernels are forward-only."""
+    """Serving-path resolution. Measured on the real v5e chip
+    (REPORTS/perf_r3.md A/B, 1.3B fused-CFG step): the fused kernels
+    LOSE to XLA's own GEMM+epilogue fusions — 4205 ms vs 3957 ms
+    baseline — so "auto" resolves to XLA everywhere. The kernels remain
+    available as an explicit opt-in ("pallas") for future-hardware
+    re-evaluation; they are forward-only and, like any bare pallas_call,
+    cannot be GSPMD-partitioned under a mesh."""
     if requested != "auto":
         return requested
-    if mesh is not None:
-        return "xla"
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "xla"

@@ -107,9 +107,14 @@ def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
     wc=53). The caller pads W up to a wc multiple and the grid tiles W,
     so wc need not divide w.
 
-    The budget model counts the per-grid-step streamed windows TWICE
-    (Mosaic double-buffers them for pipelining; a single-counted model
-    produced a 16.76M > 16M scoped-vmem rejection at 240x424x192)."""
+    The budget model counts the per-grid-step streamed windows AND the
+    im2col scratch TWICE (Mosaic double-buffers streamed blocks for
+    pipelining and keeps a second copy of the scratch across the tap
+    loop: a single-counted model produced a 16.76M > 16M scoped-vmem
+    rejection at 240x424x192, and a scratch-counted-once model a
+    19.08M > 16M rejection on the REAL compiler at t=1 240x416
+    96->192 with (th=8, wc=128) — model said 10.4M, Mosaic used
+    19.08M, i.e. ~2x the 5.3M scratch on top)."""
     w_bytes = 27 * cin * cout * 2
     chunks = [wc for wc in range(256, 0, -16)]
 
@@ -120,7 +125,7 @@ def _pick_tiles(t: int, h: int, w: int, cin: int, cout: int
         acc = t * th * wc * cout * 4
         out = 2 * t * th * wc * cout * 2     # output + optional residual
         tail = 2 * th * wc * cin * 2
-        return (w_bytes + xc + act
+        return (w_bytes + 2 * xc + act
                 + 2 * (xin + out + tail) + acc) <= VMEM_BUDGET
 
     for th in (8, 4, 2, 1):

@@ -70,11 +70,11 @@ class WanT2V:
         if mesh is None:
             self.attn_impl = "auto"
             self.token_sharding = None
-            # fused AdaLN-FFN kernels (ops/ffn_pallas.py): single-chip
-            # TPU serving only — bare pallas_call cannot be GSPMD-
-            # partitioned under a mesh, and CPU runs keep the XLA path
-            self.ffn_impl = ("pallas" if jax.default_backend() == "tpu"
-                             else "xla")
+            # fused AdaLN-FFN kernels (ops/ffn_pallas.py) measured SLOWER
+            # than XLA's GEMM fusions on the real v5e (4205 vs 3957 ms,
+            # REPORTS/perf_r3.md) — serving stays on XLA; "pallas" is an
+            # explicit opt-in via resolve_ffn_impl
+            self.ffn_impl = "xla"
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.attn_impl = "ring"
