@@ -31,16 +31,20 @@ if "encode" in sys.argv[1:]:
     vid = jnp.asarray(rng.normal(size=(1, 3, 81, 480, 832)) * 0.3,
                       jnp.bfloat16)
     for impl in ("xla", "pallas"):
-        f = jax.jit(lambda p, v, impl=impl: vae_encode(
-            p, v, cfg, streaming=True, conv_impl=impl))
-        out = f(params, vid)
-        float(jnp.sum(out[:, 0, 0, 0, 0]))   # honest sync (see below)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(f(params, vid)[:, 0, 0, 0, 0]))
-            ts.append(time.perf_counter() - t0)
-        print(f"encode {impl}: {np.median(ts)*1e3:.0f} ms", flush=True)
+        try:
+            f = jax.jit(lambda p, v, impl=impl: vae_encode(
+                p, v, cfg, streaming=True, conv_impl=impl))
+            out = f(params, vid)
+            float(jnp.sum(out[:, 0, 0, 0, 0]))   # honest sync (see below)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jnp.sum(f(params, vid)[:, 0, 0, 0, 0]))
+                ts.append(time.perf_counter() - t0)
+            print(f"encode {impl}: {np.median(ts)*1e3:.0f} ms", flush=True)
+        except Exception as e:
+            print(f"encode {impl}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
     sys.argv = [a for a in sys.argv if a != "encode"]
 
 ref = None
@@ -48,27 +52,30 @@ for spec in sys.argv[1:]:
     m = re.fullmatch(r"fc(\d+)u(\d+)(p?)", spec)
     fc, un = int(m.group(1)), int(m.group(2))
     impl = "pallas" if m.group(3) else "xla"
-    f = jax.jit(lambda p, z, fc=fc, un=un, impl=impl: vae_decode(
-        p, z, cfg, streaming=True, frame_chunk=fc, scan_unroll=un,
-        conv_impl=impl))
-    t0 = time.perf_counter()
-    out = f(params, z)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    if ref is None:
-        ref = np.asarray(out[:, :, ::7, ::31, ::37], np.float32)
-    else:
-        got = np.asarray(out[:, :, ::7, ::31, ::37], np.float32)
-        err = float(np.max(np.abs(got - ref)))
-        if err > 1e-2:
-            print(f"{spec}: OUTPUT MISMATCH {err}", flush=True)
-    ts = []
-    for _ in range(5):
+    try:
+        f = jax.jit(lambda p, z, fc=fc, un=un, impl=impl: vae_decode(
+            p, z, cfg, streaming=True, frame_chunk=fc, scan_unroll=un,
+            conv_impl=impl))
         t0 = time.perf_counter()
-        # scalar fetch: on this backend block_until_ready does not truly
-        # block (queue-depth-1 backpressure) — a device->host fetch is
-        # the honest sync (same as bench.py)
-        float(jnp.sum(f(params, z)[:, 0, 0, 0, 0]))
-        ts.append(time.perf_counter() - t0)
-    print(f"{spec}: {np.median(ts)*1e3:.0f} ms  (compile {compile_s:.0f}s)",
-          flush=True)
+        out = f(params, z)
+        got = np.asarray(out[:, :, ::7, ::31, ::37], np.float32)
+        compile_s = time.perf_counter() - t0
+        if ref is None:
+            ref = got
+        else:
+            err = float(np.max(np.abs(got - ref)))
+            if err > 1e-2:
+                print(f"{spec}: OUTPUT MISMATCH {err}", flush=True)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            # scalar fetch: on this backend block_until_ready does not
+            # truly block (queue-depth-1 backpressure) — a device->host
+            # fetch is the honest sync (same as bench.py)
+            float(jnp.sum(f(params, z)[:, 0, 0, 0, 0]))
+            ts.append(time.perf_counter() - t0)
+        print(f"{spec}: {np.median(ts)*1e3:.0f} ms  "
+              f"(compile {compile_s:.0f}s)", flush=True)
+    except Exception as e:
+        print(f"{spec}: FAILED {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
