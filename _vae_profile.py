@@ -20,14 +20,17 @@ params = jax.jit(lambda k: jax.tree.map(
 jax.block_until_ready(params)
 z = jnp.asarray(rng.normal(size=(1, 16, 21, 60, 104)), jnp.bfloat16)
 
-f = jax.jit(lambda p, z: vae_decode(p, z, cfg, streaming=True))
-out = f(params, z)
-jax.block_until_ready(out)
+impl = sys.argv[1] if len(sys.argv) > 1 else "xla"
+f = jax.jit(lambda p, z: vae_decode(p, z, cfg, streaming=True,
+                                    conv_impl=impl))
+# scalar fetch: honest sync on this backend (block_until_ready lags one
+# dispatch behind — see bench.py)
+float(jnp.sum(f(params, z)[:, 0, 0, 0, 0]))
 
 os.system("rm -rf /tmp/vae_trace")
 with jax.profiler.trace("/tmp/vae_trace"):
-    jax.block_until_ready(f(params, z))
-print("trace written", flush=True)
+    float(jnp.sum(f(params, z)[:, 0, 0, 0, 0]))
+print(f"trace written (conv_impl={impl})", flush=True)
 
 from omnihuman_tpu.utils.xplane import device_op_stats, print_op_stats
 print_op_stats(device_op_stats("/tmp/vae_trace"), top=40)
