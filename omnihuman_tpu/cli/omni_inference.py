@@ -19,6 +19,13 @@ def main(argv=None):
                    help="registry config (t2v-1.3B, t2v-14B, tiny-test, …)")
     p.add_argument("--reference_image", required=True)
     p.add_argument("--audio", default=None, help="wav file")
+    p.add_argument("--audio_backbone", default="logmel",
+                   choices=["logmel", "wav2vec"],
+                   help="audio feature extractor (wav2vec = JAX "
+                        "Wav2Vec2, the reference's declared intent)")
+    p.add_argument("--wav2vec_checkpoint", default=None,
+                   help="HF Wav2Vec2 torch checkpoint (.bin/.pt/dir); "
+                        "random-init base topology if omitted")
     p.add_argument("--pose_video", default=None,
                    help="driving video for pose heatmaps")
     p.add_argument("--prompt", default="a person talking")
@@ -36,6 +43,8 @@ def main(argv=None):
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", default="omnihuman_output.mp4")
+    from omnihuman_tpu.parallel.train_mesh import add_mesh_args
+    add_mesh_args(p)   # --fsdp_size / --sp_size / --remat_group
     args = p.parse_args(argv)
 
     import jax
@@ -49,13 +58,21 @@ def main(argv=None):
     from omnihuman_tpu.omni.dataset import AudioFeatureExtractor, read_wav
     from omnihuman_tpu.omni.model import (
         OmniModelConfig, init_omni_model, omni_model_forward)
-    from omnihuman_tpu.samplers.fm_solvers import FlowDPMSolver
     from omnihuman_tpu.utils.logging import logger
     from omnihuman_tpu.utils.media import cache_video
 
     cfg = WAN_CONFIGS[args.task]
     base, vcfg, policy = cfg.model, cfg.vae, cfg.policy
     ocfg = OmniModelConfig(base=base, num_frames=args.num_frames)
+
+    # ---- mesh plan (VERDICT r3 item 4: the flagship omni-14B config is
+    # only serveable sharded; mirrors pipelines/text2video.py:64-82) ----
+    mesh = None
+    if args.sp_size > 1 or args.fsdp_size > 1:
+        from omnihuman_tpu.parallel import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(data=-1, fsdp=args.fsdp_size,
+                                      sp=args.sp_size))
+        logger.info(f"mesh {dict(mesh.shape)} attn=ring")
 
     w_px, h_px = (int(v) for v in args.size.replace("x", "*").split("*"))
     h_lat, w_lat = h_px // cfg.vae_stride[1], w_px // cfg.vae_stride[2]
@@ -98,6 +115,10 @@ def main(argv=None):
                 restored = restored["params"]  # OmniTrainState layout
             params = jax.tree.map(jnp.asarray, restored)
             logger.info(f"omni params <- {args.checkpoint}")
+    if mesh is not None:
+        from omnihuman_tpu.parallel.partition import shard_params
+        params = shard_params(params, mesh)
+        vae_params = shard_params(vae_params, mesh)
 
     # ---- text (real T5 context, omnihuman_wan_t2v.py:270-275) ---------------
     text_encoder = T5TextEncoder(cfg.t5, cfg.text_len,
@@ -126,7 +147,17 @@ def main(argv=None):
     audio = None
     if args.audio:
         waveform, sr = read_wav(args.audio)
-        ext = AudioFeatureExtractor(dim=ocfg.audio_dim)
+        if args.audio_backbone == "wav2vec":
+            from omnihuman_tpu.omni.wav2vec import Wav2Vec2AudioFeatures
+            ext = Wav2Vec2AudioFeatures(
+                checkpoint_path=args.wav2vec_checkpoint,
+                dim=ocfg.audio_dim)
+            if args.wav2vec_checkpoint is None:
+                logger.warning(
+                    "wav2vec backbone running with RANDOM weights "
+                    "(no --wav2vec_checkpoint)")
+        else:
+            ext = AudioFeatureExtractor(dim=ocfg.audio_dim)
         audio = jnp.asarray(ext(waveform, sr, f_lat))[None]
 
     # ---- pose heatmaps from a driving video (inference.py:58-126) -----------
@@ -159,28 +190,19 @@ def main(argv=None):
                               (1, vcfg.z_dim, f_lat, h_lat, w_lat),
                               jnp.float32)
 
-    sol = FlowDPMSolver(steps=args.num_inference_steps, shift=1.0)
     from omnihuman_tpu.ops.ffn_pallas import resolve_ffn_impl
-    ffn_impl = resolve_ffn_impl()   # fused GEMMs on single-chip TPU
+    from omnihuman_tpu.parallel.train_mesh import resolve_remat
+    from omnihuman_tpu.pipelines.omni import omni_generate
 
-    def model_fn(x, t, i):
-        # CFG annealing (omnihuman_wan_t2v.py:432-438):
-        # cfg_t = cfg*(1-progress) + progress
-        progress = i / args.num_inference_steps
-        cfg_t = args.cfg_scale * (1.0 - progress) + progress
-        tb = jnp.full((1,), t, jnp.float32)
-        v_c = omni_model_forward(params, x, tb, ctx, cfg=ocfg, audio=audio,
-                                 pose=pose, ref_latent=ref_lat,
-                                 context_lens=ctx_lens,
-                                 policy=policy, remat=False,
-                                 ffn_impl=ffn_impl)
-        v_u = omni_model_forward(params, x, tb, ctx_null, cfg=ocfg,
-                                 context_lens=null_lens,
-                                 policy=policy, remat=False,
-                                 ffn_impl=ffn_impl)
-        return v_u + cfg_t * (v_c - v_u)
-
-    latents = jax.jit(lambda z: sol.sample_loop(model_fn, z))(noise)
+    ffn_impl = resolve_ffn_impl(mesh=mesh)  # "auto" -> XLA
+    remat = (resolve_remat(args.remat_group, base.num_layers)
+             if mesh is not None else False)
+    latents = omni_generate(
+        params, noise, ctx, ctx_null, cfg=ocfg, policy=policy,
+        sampling_steps=args.num_inference_steps, cfg_scale=args.cfg_scale,
+        shift=1.0, mesh=mesh, audio=audio, pose=pose, ref_latent=ref_lat,
+        context_lens=ctx_lens, null_lens=null_lens, remat=remat,
+        ffn_impl=ffn_impl)
     video = vae_decode(vae_params, latents, vcfg, streaming=True)
     path = cache_video(np.asarray(video[0]), args.output, fps=16)
     logger.info(f"saved {path}")

@@ -210,6 +210,11 @@ class OmniHumanEvaluator:
         self.fid = FrechetInceptionDistance(fid_feature_fn)
         self.fvd = VideoFrechetInceptionDistance(fvd_feature_fn)
         self.lip = LipSyncEvaluator(audio_embed_fn, visual_embed_fn)
+        # tag the sync-c backend like feature_space tags FID/FVD: real
+        # two-tower embedders (omni/syncc.py) vs the pixel proxy
+        self.sync_backend = ("embedders" if (audio_embed_fn is not None
+                                             and visual_embed_fn is not None)
+                             else "pixel_proxy")
         self.hands = HandQualityEvaluator(keypoint_processor)
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
@@ -236,6 +241,7 @@ class OmniHumanEvaluator:
             metrics["sync_c"] = float(np.mean([
                 self.lip.sync_confidence(fake_videos[i], audio[i])
                 for i in range(len(fake_videos))]))
+            metrics["sync_backend"] = self.sync_backend
         hand = [self.hands.evaluate(v) for v in fake_videos]
         # explicit NaN when no keypoint processor produced any values —
         # avoids numpy's "Mean of empty slice" warning masquerading as data

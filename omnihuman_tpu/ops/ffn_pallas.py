@@ -267,8 +267,15 @@ def resolve_ffn_impl(requested: str = "auto", mesh=None) -> str:
     LOSE to XLA's own GEMM+epilogue fusions — 4205 ms vs 3957 ms
     baseline — so "auto" resolves to XLA everywhere. The kernels remain
     available as an explicit opt-in ("pallas") for future-hardware
-    re-evaluation; they are forward-only and, like any bare pallas_call,
-    cannot be GSPMD-partitioned under a mesh."""
+    re-evaluation; they are forward-only, and bare pallas_calls cannot
+    be GSPMD-partitioned, so "pallas" under an active mesh is rejected
+    here with a clear error instead of a confusing Mosaic one."""
+    if requested == "pallas" and mesh is not None and not mesh.empty:
+        raise ValueError(
+            "ffn_impl='pallas' is single-chip only: bare pallas_call "
+            "kernels cannot be GSPMD-partitioned under a mesh "
+            "(Mosaic: 'Mosaic kernels cannot be automatically "
+            "partitioned'). Use ffn_impl='xla' on mesh runs.")
     if requested != "auto":
         return requested
     return "xla"

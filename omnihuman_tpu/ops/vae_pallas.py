@@ -311,7 +311,11 @@ def _pick_up_tiles(t: int, h: int, w: int, cin: int, cout: int
     chunks = [wc for wc in range(256, 0, -16)]
 
     def fits(th, wc):
-        xc = t * th * wc * 4 * cin * 2
+        # _up_kernel uses the same tap-loop im2col scratch pattern as
+        # _kernel, which the REAL compiler was proven to double-buffer
+        # (see _pick_tiles' 19.08M-vs-10.4M rejection) — count xc twice
+        # here too.
+        xc = 2 * (t * th * wc * 4 * cin * 2)
         xin = t * (th + 2) * (wc + 2) * cin * 2 * 2
         acc = 4 * t * th * wc * cout * 4 * 2   # quad + stacked copies
         out = t * 2 * th * 2 * wc * cout * 2

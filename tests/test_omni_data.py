@@ -179,6 +179,29 @@ def test_dataset_getitem(video_dir, tmp_path):
             assert s["conditions"]["audio"].shape == (8, 64)
 
 
+def test_dataset_wav2vec_audio_backend(video_dir, tmp_path):
+    """The JAX Wav2Vec2 wrapper plugs into the dataset's audio hook
+    (reference intent README.md:124-128; the reference shipped
+    torch.randn at omnihuman_dataset.py:813-816)."""
+    from omnihuman_tpu.omni.wav2vec import Wav2Vec2AudioFeatures
+    ds = OmniHumanDataset(
+        str(video_dir), num_frames=8, frame_size=(32, 32), audio_dim=64,
+        audio_feature_fn=Wav2Vec2AudioFeatures(preset="tiny-test", dim=64,
+                                               fps=16.0),
+        condition_ratios={"text": 1.0, "reference": 1.0, "audio": 1.0,
+                          "pose": 0.0},
+        cache_dir=str(tmp_path / "cache_w2v"))
+    found = False
+    for i in range(len(ds)):
+        s = ds[i]
+        if "audio" in s["conditions"]:
+            found = True
+            assert s["conditions"]["audio"].shape == (8, 64)
+            assert np.isfinite(s["conditions"]["audio"]).all()
+            assert s["conditions"]["audio"].std() > 0
+    assert found, "no audio sample produced by the wav2vec backend"
+
+
 def test_dataset_empty_fallback(tmp_path):
     d = tmp_path / "empty_videos"
     d.mkdir()
