@@ -481,6 +481,96 @@ def analyze_omni_step(
     return stats
 
 
+def analyze_omni_pipeline(
+    task: str = "t2v-14B",
+    size: Tuple[int, int] = (832, 480),
+    frame_num: int = 81,
+    mesh_shape: Dict[str, int] = None,
+    batch: int = 1,
+    motion_frames: int = 2,
+    attn_impl: Optional[str] = None,
+    backend: str = "tpu",
+    devices=None,
+) -> Dict[str, Any]:
+    """AOT-compile the omni SERVING step (one CFG-annealed sampling
+    iteration of `pipelines/omni.omni_generate`: conditioned + uncond
+    forward, sequential CFG) at 14B scale with PACKED reference+motion
+    tokens — which make the self-attention sequence LONGER than the
+    validated plain-i2v pipeline rows (VERDICT r3 item 4)."""
+    from omnihuman_tpu.configs.wan import DTypePolicy
+    from omnihuman_tpu.omni.model import (OmniModelConfig, init_omni_model,
+                                          omni_model_forward)
+
+    cfg = WAN_CONFIGS[task]
+    mesh_shape = mesh_shape or {"data": 1, "fsdp": 4, "sp": 2}
+    if backend == "tpu" and devices is None:
+        mesh = topology_mesh(mesh_shape)
+        attn_impl = attn_impl or "ring"
+    else:
+        mesh = create_mesh(MeshConfig(**mesh_shape), devices=devices)
+        attn_impl = attn_impl or "xla_chunked"
+    sp = mesh.shape.get("sp", 1)
+
+    lat, grid, n_tokens = latent_geometry(cfg, size, frame_num)
+    f_lat, lat_h, lat_w = lat[1:]
+    ocfg = OmniModelConfig(base=cfg.model, audio_dim=1024,
+                           num_keypoints=308, num_frames=f_lat)
+    # packed sequence: video + 1 ref frame + M motion frames of tokens
+    tokens_per_frame = n_tokens // f_lat
+    packed_tokens = n_tokens + (1 + motion_frames) * tokens_per_frame
+
+    bf16 = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.bfloat16), t)
+    params_s = bf16(jax.eval_shape(
+        lambda: init_omni_model(jax.random.key(0), ocfg)))
+    params_sh = _shardings(mesh, params_s)
+
+    b = batch
+    abstract = lambda shape, dt=jnp.bfloat16: jax.ShapeDtypeStruct(  # noqa
+        shape, dt)
+    inputs_s = dict(
+        x=abstract((b,) + lat, jnp.float32),
+        ctx=abstract((b, cfg.text_len, cfg.t5.dim)),
+        ctx_null=abstract((b, cfg.text_len, cfg.t5.dim)),
+        audio=abstract((b, f_lat, ocfg.audio_dim), jnp.float32),
+        pose=abstract((b, ocfg.num_keypoints, f_lat, 2 * lat_h, 2 * lat_w)),
+        ref=abstract((b, lat[0], 1, lat_h, lat_w), jnp.float32),
+        motion=abstract((b, lat[0], motion_frames, lat_h, lat_w),
+                        jnp.float32),
+    )
+    repl = NamedSharding(mesh, P())
+    inputs_sh = jax.tree.map(lambda _: repl, inputs_s)
+    if sp > 1 and (2 * lat_h) % sp == 0:
+        inputs_sh["pose"] = NamedSharding(
+            mesh, P(None, None, None, "sp", None))
+    token_sharding = NamedSharding(mesh, P(None, "sp", None))
+
+    def cfg_annealed_step(params, d):
+        tb = jnp.full((b,), 999.0, jnp.float32)
+        kw = dict(cfg=ocfg, policy=cfg.policy, remat=False,
+                  attn_impl=attn_impl, token_sharding=token_sharding,
+                  seq_align=sp)
+        v_c = omni_model_forward(params, d["x"], tb, d["ctx"],
+                                 audio=d["audio"], pose=d["pose"],
+                                 ref_latent=d["ref"],
+                                 motion_latent=d["motion"], **kw)
+        v_u = omni_model_forward(params, d["x"], tb, d["ctx_null"], **kw)
+        return v_u + 5.0 * (v_c - v_u)
+
+    jitted = jax.jit(cfg_annealed_step, in_shardings=(params_sh, inputs_sh))
+    with use_mesh(mesh):
+        lowered = jitted.lower(params_s, inputs_s)
+        stats = _compile_stats(lowered)
+    stats.update(task=f"omni-serve-{task}", step="omni_cfg_annealed",
+                 mesh=dict(mesh_shape), n_video_tokens=n_tokens,
+                 n_packed_tokens=packed_tokens, motion_frames=motion_frames,
+                 batch=batch, size=list(size), frame_num=frame_num,
+                 attn_impl=attn_impl,
+                 fits_v5e=(stats["peak_bytes"] < V5E_HBM_BYTES
+                           and not stats.get("oom", False)))
+    return stats
+
+
 def main(argv=None):  # pragma: no cover - exercised by the report script
     import argparse
     import json
@@ -498,7 +588,11 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
     p = argparse.ArgumentParser("memory-report")
     p.add_argument("--task", default="i2v-14B")
     p.add_argument("--what", default="cfg",
-                   choices=["cfg", "apt", "pipeline", "omni"])
+                   choices=["cfg", "apt", "pipeline", "omni",
+                            "omni_pipeline"])
+    p.add_argument("--motion_frames", type=int, default=2,
+                   help="packed motion-latent frames for "
+                        "--what omni_pipeline")
     p.add_argument("--cfg_mode", default="sequential",
                    choices=["fused", "sequential"],
                    help="CFG execution for --what pipeline")
@@ -525,6 +619,10 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
     elif args.what == "omni":
         stats = analyze_omni_step(args.task, (w, h), args.frame_num,
                                   mesh_shape, args.batch, remat=args.remat)
+    elif args.what == "omni_pipeline":
+        stats = analyze_omni_pipeline(args.task, (w, h), args.frame_num,
+                                      mesh_shape, args.batch,
+                                      motion_frames=args.motion_frames)
     else:
         stats = analyze_apt_steps(args.task, (w, h), args.frame_num,
                                   mesh_shape, args.batch)
