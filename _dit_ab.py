@@ -38,13 +38,12 @@ ctx512 = jnp.asarray(rng.normal(size=(2, 512, cfg.text_dim)) * 0.1,
 lens = jnp.asarray([100, 100], jnp.int32)
 
 
-def bench(label, ctx, policy, ctx_lens=None, ffn_impl="xla"):
+def bench(label, ctx, policy, ctx_lens=None):
     @jax.jit
     def step(params, x, t, ctx, lens):
         v = wan_model_forward(params, x, t, ctx, cfg=cfg, seq_len=seq_len,
                               rope_sin=sin, rope_cos=cos, remat=False,
-                              policy=policy, context_lens=lens,
-                              ffn_impl=ffn_impl)
+                              policy=policy, context_lens=lens)
         vc, vu = jnp.split(v, 2, axis=0)
         return vu + 5.0 * (vc - vu)
 
@@ -63,7 +62,3 @@ bench("baseline (ctx512, fp32 residual)", ctx512, fp32)
 bench("ctx128 trim + lens", ctx512[:, :128], fp32, lens)
 bench("bf16 residual", ctx512, bf16r)
 bench("bf16 residual + ctx128", ctx512[:, :128], bf16r, lens)
-bench("fused adaln-ffn kernels", ctx512, fp32, ffn_impl="pallas")
-bench("fused ffn + bf16 residual", ctx512, bf16r, ffn_impl="pallas")
-bench("fused ffn + bf16 res + ctx128", ctx512[:, :128], bf16r, lens,
-      ffn_impl="pallas")

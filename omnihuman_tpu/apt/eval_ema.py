@@ -68,16 +68,13 @@ def evaluate_ema(
     seq_len = grid[0] * grid[1] * grid[2]
     sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
 
-    from omnihuman_tpu.ops.ffn_pallas import resolve_ffn_impl
-    ffn_impl = resolve_ffn_impl()
 
     @jax.jit
     def one_step(params, z, ctx):
         t = jnp.full((z.shape[0],), t_final, jnp.float32)
         v = wan_dit.wan_model_forward(
             params, z, t, ctx, cfg=cfg.model, seq_len=seq_len,
-            rope_sin=sin, rope_cos=cos, policy=cfg.policy, remat=False,
-            ffn_impl=ffn_impl)
+            rope_sin=sin, rope_cos=cos, policy=cfg.policy, remat=False)
         return z - v
 
     latents = one_step(pipe.params, noise, ctx)

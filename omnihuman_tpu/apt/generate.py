@@ -96,11 +96,9 @@ def generate_batch(
         x2 = jnp.concatenate([x, x], axis=0)
         c2 = jnp.concatenate([ctx, ctx_null], axis=0)
         t2 = jnp.full((2 * b,), t_val, jnp.float32)
-        from omnihuman_tpu.ops.ffn_pallas import resolve_ffn_impl
         v = wan_dit.wan_model_forward(
             params, x2, t2, c2, cfg=cfg.model, seq_len=seq_len,
-            rope_sin=sin, rope_cos=cos, policy=cfg.policy, remat=False,
-            ffn_impl=resolve_ffn_impl())
+            rope_sin=sin, rope_cos=cos, policy=cfg.policy, remat=False)
         v_cond, v_uncond = jnp.split(v, 2, axis=0)
         return v_uncond + cfg_scale * (v_cond - v_uncond)
 

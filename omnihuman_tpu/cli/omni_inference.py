@@ -190,19 +190,16 @@ def main(argv=None):
                               (1, vcfg.z_dim, f_lat, h_lat, w_lat),
                               jnp.float32)
 
-    from omnihuman_tpu.ops.ffn_pallas import resolve_ffn_impl
     from omnihuman_tpu.parallel.train_mesh import resolve_remat
     from omnihuman_tpu.pipelines.omni import omni_generate
 
-    ffn_impl = resolve_ffn_impl(mesh=mesh)  # "auto" -> XLA
     remat = (resolve_remat(args.remat_group, base.num_layers)
              if mesh is not None else False)
     latents = omni_generate(
         params, noise, ctx, ctx_null, cfg=ocfg, policy=policy,
         sampling_steps=args.num_inference_steps, cfg_scale=args.cfg_scale,
         shift=1.0, mesh=mesh, audio=audio, pose=pose, ref_latent=ref_lat,
-        context_lens=ctx_lens, null_lens=null_lens, remat=remat,
-        ffn_impl=ffn_impl)
+        context_lens=ctx_lens, null_lens=null_lens, remat=remat)
     video = vae_decode(vae_params, latents, vcfg, streaming=True)
     path = cache_video(np.asarray(video[0]), args.output, fps=16)
     logger.info(f"saved {path}")

@@ -187,82 +187,6 @@ def _self_attention(p, x, rope_sin, rope_cos, seq_lens, cfg, policy,
     return _linear(p["o"], y.astype(cd))
 
 
-def _self_attention_fused(p, x, e_scale, e_shift, e_gate, rope_sin,
-                          rope_cos, seq_lens, cfg, policy, attn_impl, rd,
-                          interpret):
-    """Serving fast path: norm1 + AdaLN modulate fused into ONE packed
-    QKV GEMM prologue, and the output projection's gated residual add
-    into its epilogue (ops/ffn_pallas.py) — same math as
-    layer_norm → modulate → _self_attention → x + y·gate."""
-    from omnihuman_tpu.ops.ffn_pallas import gelu_gemm_gate_add, ln_mod_gemm
-    b, s, _ = x.shape
-    n, d = cfg.num_heads, cfg.head_dim
-    cd = policy.compute
-    wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]],
-                           axis=-1)
-    bqkv = jnp.concatenate([p["q"]["b"], p["k"]["b"], p["v"]["b"]])
-    qkv = ln_mod_gemm(x, e_scale[:, 0], e_shift[:, 0], wqkv, bqkv,
-                      eps=cfg.eps, interpret=interpret)
-    qq, kk, vv = jnp.split(qkv, 3, axis=-1)
-    q = rms_norm(qq, p["norm_q"]["w"], eps=cfg.eps).reshape(b, s, n, d)
-    k = rms_norm(kk, p["norm_k"]["w"], eps=cfg.eps).reshape(b, s, n, d)
-    v = vv.reshape(b, s, n, d)
-    q = apply_rope(q, rope_sin, rope_cos)
-    k = apply_rope(k, rope_sin, rope_cos)
-    y = flash_attention(q, k, v, k_lens=seq_lens,
-                        window_size=cfg.window_size, dtype=cd,
-                        implementation=attn_impl)
-    y = y.reshape(b, s, n * d)
-    return gelu_gemm_gate_add(y, p["o"]["w"], p["o"]["b"], e_gate[:, 0],
-                              x, apply_gelu=False, out_dtype=rd,
-                              interpret=interpret)
-
-
-def _cross_attention_fused(p, x, norm3, context, context_lens, cfg,
-                           policy, attn_impl, rd, interpret):
-    """Serving fast path for cross-attention: the affine norm3 LN folds
-    into the q-projection prologue (xn·gamma+beta == xn·(1+(gamma-1))
-    +beta) and the output projection's residual add into its epilogue.
-    K/V projections stay XLA — the context is short (≤512 tokens)."""
-    from omnihuman_tpu.ops.ffn_pallas import gelu_gemm_gate_add, ln_mod_gemm
-    b, s, dim = x.shape
-    n, d = cfg.num_heads, cfg.head_dim
-    cd = policy.compute
-    gamma = norm3["w"].astype(jnp.float32) - 1.0
-    beta = norm3["b"].astype(jnp.float32)
-    q = ln_mod_gemm(x, jnp.broadcast_to(gamma[None], (b, dim)),
-                    jnp.broadcast_to(beta[None], (b, dim)),
-                    p["q"]["w"], p["q"]["b"], eps=cfg.eps,
-                    interpret=interpret)
-    q = rms_norm(q, p["norm_q"]["w"], eps=cfg.eps).reshape(b, s, n, d)
-
-    ctx = context.astype(cd)
-    if cfg.model_type == "i2v":
-        t = cfg.clip_tokens
-        ctx_img, ctx_txt = ctx[:, :t], ctx[:, t:]
-        k_img = rms_norm(_linear(p["k_img"], ctx_img),
-                         p["norm_k_img"]["w"], eps=cfg.eps)
-        v_img = _linear(p["v_img"], ctx_img)
-        y_img = flash_attention(q, k_img.reshape(b, t, n, d),
-                                v_img.reshape(b, t, n, d), dtype=cd,
-                                implementation=attn_impl)
-    else:
-        ctx_txt = ctx
-    lc = ctx_txt.shape[1]
-    k = rms_norm(_linear(p["k"], ctx_txt), p["norm_k"]["w"], eps=cfg.eps)
-    v = _linear(p["v"], ctx_txt)
-    y = flash_attention(q, k.reshape(b, lc, n, d), v.reshape(b, lc, n, d),
-                        k_lens=context_lens, dtype=cd,
-                        implementation=attn_impl)
-    if cfg.model_type == "i2v":
-        y = y + y_img
-    y = y.reshape(b, s, n * d)
-    ones = jnp.ones((b, dim), jnp.float32)
-    return gelu_gemm_gate_add(y, p["o"]["w"], p["o"]["b"], ones, x,
-                              apply_gelu=False, out_dtype=rd,
-                              interpret=interpret)
-
-
 def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
     """x: [B, S, dim]; context: [B, Lc, dim] (reference model.py:164-230).
 
@@ -319,7 +243,7 @@ def _cross_attention(p, x, context, context_lens, cfg, policy, attn_impl):
 
 def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
                    seq_lens, cfg: WanModelConfig, policy: DTypePolicy,
-                   attn_impl: str, audio_ctx=None, ffn_impl: str = "xla"):
+                   attn_impl: str, audio_ctx=None):
     rd = policy.residual
     """One transformer block. x, e0 fp32 (reference model.py:279-330).
 
@@ -329,6 +253,13 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
     cross-attention (README.md:121-129 'injects tokens into MMDiT via
     cross-attention' — the wiring the reference never finished,
     SURVEY §2.6 caveat).
+
+    Note: a fused AdaLN-GEMM Pallas path (ln+modulate in fc1's prologue,
+    GELU+gated-residual in fc2's epilogue) was built and measured AGAINST
+    this XLA formulation on the real v5e at both 1.3B (4205 vs 3957 ms
+    step) and 14B FFN widths (81 vs 134 TFLOP/s) — XLA's GEMM+epilogue
+    fusions win both regimes, so the family was deleted
+    (REPORTS/perf_r3.md A/B, REPORTS/perf_r4.md §8).
     """
     cd = policy.compute
     # AdaLN: modulation table + time projection, fp32, 6 chunks
@@ -336,36 +267,22 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
     e_sa_shift, e_sa_scale, e_sa_gate, e_ff_shift, e_ff_scale, e_ff_gate = [
         e[:, i][:, None] for i in range(6)]                  # each [B,1,dim]
 
-    fused_gemms = ffn_impl in ("pallas", "interpret")
-    interp = ffn_impl == "interpret"
-
     # self-attention
-    if fused_gemms:
-        x = _self_attention_fused(
-            bp["self_attn"], x.astype(jnp.float32), e_sa_scale, e_sa_shift,
-            e_sa_gate, rope_sin, rope_cos, seq_lens, cfg, policy,
-            attn_impl, rd, interp)
-    else:
-        h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
-        h = h * (1.0 + e_sa_scale) + e_sa_shift
-        y = _self_attention(bp["self_attn"], h, rope_sin, rope_cos,
-                            seq_lens, cfg, policy, attn_impl)
-        x = (x + (y.astype(jnp.float32) * e_sa_gate).astype(rd)).astype(rd)
+    h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
+    h = h * (1.0 + e_sa_scale) + e_sa_shift
+    y = _self_attention(bp["self_attn"], h, rope_sin, rope_cos,
+                        seq_lens, cfg, policy, attn_impl)
+    x = (x + (y.astype(jnp.float32) * e_sa_gate).astype(rd)).astype(rd)
 
     # cross-attention (pre-norm, affine when cross_attn_norm)
-    if fused_gemms and cfg.cross_attn_norm:
-        x = _cross_attention_fused(
-            bp["cross_attn"], x.astype(jnp.float32), bp["norm3"], context,
-            context_lens, cfg, policy, attn_impl, rd, interp)
+    if cfg.cross_attn_norm:
+        h = layer_norm(x, bp["norm3"]["w"], bp["norm3"]["b"],
+                       eps=cfg.eps, out_dtype=jnp.float32)
     else:
-        if cfg.cross_attn_norm:
-            h = layer_norm(x, bp["norm3"]["w"], bp["norm3"]["b"],
-                           eps=cfg.eps, out_dtype=jnp.float32)
-        else:
-            h = x
-        y = _cross_attention(bp["cross_attn"], h, context, context_lens,
-                             cfg, policy, attn_impl)
-        x = x + y.astype(rd)
+        h = x
+    y = _cross_attention(bp["cross_attn"], h, context, context_lens,
+                         cfg, policy, attn_impl)
+    x = x + y.astype(rd)
 
     # OmniHuman audio injection (adapter params present only in omni models)
     if audio_ctx is not None and "audio_attn" in bp:
@@ -379,16 +296,6 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
         x = x + y.astype(jnp.float32) * ap["gate"].astype(jnp.float32)
 
     # FFN with AdaLN modulation
-    if ffn_impl in ("pallas", "interpret"):
-        # serving fast path (ops/ffn_pallas.py): LN+modulate fused into
-        # fc1's prologue, GELU into fc2's prologue, the gated residual
-        # add into fc2's epilogue — kills the three exposed full-stream
-        # passes XLA leaves here (REPORTS/perf_r3.md). Forward-only.
-        from omnihuman_tpu.ops.ffn_pallas import fused_adaln_ffn
-        return fused_adaln_ffn(
-            x.astype(jnp.float32), e_ff_scale, e_ff_shift, e_ff_gate,
-            bp["ffn_fc1"], bp["ffn_fc2"], eps=cfg.eps, residual_dtype=rd,
-            interpret=ffn_impl == "interpret")
     h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
     h = h * (1.0 + e_ff_scale) + e_ff_shift
     h = _linear(bp["ffn_fc1"], h.astype(cd))
@@ -449,7 +356,6 @@ def wan_model_forward(
     collect_layers: Optional[Sequence[int]] = None,
     token_sharding=None,
     audio_ctx: Optional[jnp.ndarray] = None,
-    ffn_impl: str = "xla",
 ):
     """Velocity prediction v = model(x_t, t, context).
 
@@ -472,8 +378,7 @@ def wan_model_forward(
         rope_sin=rope_sin, rope_cos=rope_cos, n_tokens=n_tokens,
         context_lens=context_lens, clip_fea=clip_fea, policy=policy,
         remat=remat, attn_impl=attn_impl, collect_layers=collect_layers,
-        token_sharding=token_sharding, audio_ctx=audio_ctx,
-        ffn_impl=ffn_impl)
+        token_sharding=token_sharding, audio_ctx=audio_ctx)
 
     v = _unpatchify(out, grid, cfg).astype(jnp.float32)
     if collect_layers is not None:
@@ -500,7 +405,6 @@ def dit_body(
     collect_layers: Optional[Sequence[int]] = None,
     token_sharding=None,
     audio_ctx: Optional[jnp.ndarray] = None,
-    ffn_impl: str = "xla",
 ):
     """The shared DiT trunk on pre-built tokens: pad → shard → time/text
     embeds → block scan (plain / grouped remat / tapped) → modulated head.
@@ -560,8 +464,7 @@ def dit_body(
     block_fn = functools.partial(
         _block_forward, context=ctx, context_lens=context_lens,
         rope_sin=rope_sin, rope_cos=rope_cos, seq_lens=seq_lens,
-        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx,
-        ffn_impl=ffn_impl)
+        cfg=cfg, policy=policy, attn_impl=attn_impl, audio_ctx=audio_ctx)
 
     # two-level (sqrt-L) rematerialisation: remat=<int g> groups the layer
     # scan into num_layers/g segments and checkpoints each SEGMENT, so the

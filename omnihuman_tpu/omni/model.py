@@ -204,7 +204,6 @@ def omni_model_forward(
     attn_impl: str = "auto",
     token_sharding=None,
     seq_align: int = 1,
-    ffn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Velocity prediction with omni-conditions injected.
 
@@ -311,7 +310,6 @@ def omni_model_forward(
         rope_sin=rope_sin, rope_cos=rope_cos, n_tokens=n_packed,
         context_lens=context_lens, policy=policy, remat=remat,
         attn_impl=attn_impl, token_sharding=token_sharding,
-        ffn_impl=ffn_impl,
         audio_ctx=audio_ctx)
     # drop reference/motion/pad tokens before unpatchify: only video
     # tokens decode

@@ -142,7 +142,7 @@ class WanI2V(WanT2V):
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,
             num_train_timesteps=cfg.num_train_timesteps,
-            fused_loop=fused_loop, mesh=self.mesh, ffn_impl=self.ffn_impl,
+            fused_loop=fused_loop, mesh=self.mesh,
             attn_impl=self.attn_impl, token_sharding=self.token_sharding,
             cfg_mode=cfg_mode)
         if return_latents:
@@ -156,7 +156,6 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
                 model_cfg, policy, patch_size, seq_len, shift, solver,
                 steps, guide_scale, num_train_timesteps, fused_loop=False,
                 mesh=None, attn_impl="auto", token_sharding=None,
-                ffn_impl="xla",
                 cfg_mode="fused", context_lens=None):
     grid = (noise.shape[2] // patch_size[0],
             noise.shape[3] // patch_size[1],
@@ -172,8 +171,7 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
     clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
                    guide_scale=float(guide_scale), attn_impl=attn_impl,
-                   token_sharding=token_sharding, cfg_mode=cfg_mode,
-                   ffn_impl=ffn_impl)
+                   token_sharding=token_sharding, cfg_mode=cfg_mode)
 
     import contextlib
     from omnihuman_tpu.parallel.mesh import use_mesh
@@ -202,11 +200,10 @@ def _i2v_sample(params, noise, y, clip_fea, context, context_null, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
-    "token_sharding", "cfg_mode", "ffn_impl"))
+    "token_sharding", "cfg_mode"))
 def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
                         ctx_lens=None, *, model_cfg, policy, seq_len,
                         guide_scale, attn_impl="auto", token_sharding=None,
-                        ffn_impl="xla",
                         cfg_mode="fused"):
     """i2v CFG step; cfg_mode='sequential' runs cond/uncond one after the
     other in the same compiled program — the memory-validated mode for
@@ -214,8 +211,7 @@ def _i2v_cfg_model_step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
     fwd = functools.partial(
         wan_dit.wan_model_forward, params, cfg=model_cfg, seq_len=seq_len,
         rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=False,
-        attn_impl=attn_impl, token_sharding=token_sharding,
-        ffn_impl=ffn_impl)
+        attn_impl=attn_impl, token_sharding=token_sharding)
     if cfg_mode == "fused":
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((x2.shape[0],), t, jnp.float32)

@@ -57,7 +57,6 @@ def omni_generate(
     context_lens: Optional[jnp.ndarray] = None,
     null_lens: Optional[jnp.ndarray] = None,
     remat=False,
-    ffn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Sample latents with CFG annealing
     (omnihuman_wan_t2v.py:432-438: cfg_t = cfg*(1-progress) + progress).
@@ -68,7 +67,7 @@ def omni_generate(
     sol = get_solver(solver, sampling_steps, shift)
     attn_impl, token_sharding, seq_align = omni_mesh_plan(mesh)
     b = noise.shape[0]
-    akw = dict(cfg=cfg, policy=policy, remat=remat, ffn_impl=ffn_impl,
+    akw = dict(cfg=cfg, policy=policy, remat=remat,
                attn_impl=attn_impl, token_sharding=token_sharding,
                seq_align=seq_align)
 

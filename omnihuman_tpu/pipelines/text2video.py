@@ -70,16 +70,10 @@ class WanT2V:
         if mesh is None:
             self.attn_impl = "auto"
             self.token_sharding = None
-            # fused AdaLN-FFN kernels (ops/ffn_pallas.py) measured SLOWER
-            # than XLA's GEMM fusions on the real v5e (4205 vs 3957 ms,
-            # REPORTS/perf_r3.md) — serving stays on XLA; "pallas" is an
-            # explicit opt-in via resolve_ffn_impl
-            self.ffn_impl = "xla"
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.attn_impl = "ring"
             self.token_sharding = NamedSharding(mesh, P(None, "sp", None))
-            self.ffn_impl = "xla"
 
         self._init_seed = init_seed
         self._t5_params = None
@@ -268,8 +262,7 @@ class WanT2V:
             num_train_timesteps=self.config.num_train_timesteps,
             fused_loop=fused_loop, mesh=self.mesh,
             attn_impl=self.attn_impl, token_sharding=self.token_sharding,
-            cfg_mode=cfg_mode, context_lens=context_lens,
-            ffn_impl=self.ffn_impl)
+            cfg_mode=cfg_mode, context_lens=context_lens)
         if return_latents:
             return latents
         video = vae_mod.vae_decode_jit(self.vae_params, latents,
@@ -279,11 +272,11 @@ class WanT2V:
 
 @functools.partial(jax.jit, static_argnames=(
     "model_cfg", "policy", "seq_len", "guide_scale", "attn_impl",
-    "token_sharding", "cfg_mode", "ffn_impl"))
+    "token_sharding", "cfg_mode"))
 def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, ctx_lens=None,
                     *, model_cfg, policy, seq_len, guide_scale,
                     attn_impl="auto", token_sharding=None,
-                    cfg_mode="fused", ffn_impl="xla"):
+                    cfg_mode="fused"):
     """One CFG denoise model call (module-level jit → cached across
     generate() invocations).
 
@@ -296,8 +289,7 @@ def _cfg_model_step(params, x, t, ctx2, rope_sin, rope_cos, ctx_lens=None,
     fwd = functools.partial(
         wan_dit.wan_model_forward, params, cfg=model_cfg, seq_len=seq_len,
         rope_sin=rope_sin, rope_cos=rope_cos, policy=policy, remat=False,
-        attn_impl=attn_impl, token_sharding=token_sharding,
-        ffn_impl=ffn_impl)
+        attn_impl=attn_impl, token_sharding=token_sharding)
     if cfg_mode == "fused":
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((x2.shape[0],), t, jnp.float32)
@@ -321,7 +313,7 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
            patch_size, seq_len, shift, solver, steps, guide_scale,
            num_train_timesteps, fused_loop=False, mesh=None,
            attn_impl="auto", token_sharding=None, cfg_mode="fused",
-           context_lens=None, ffn_impl="xla"):
+           context_lens=None):
     """Denoising loop.
 
     fused_loop=False (default): ONE compiled model step driven by a host
@@ -347,8 +339,7 @@ def sample(params, noise, context, context_null, *, model_cfg, policy,
                 else jnp.asarray(context_lens, jnp.int32))
     statics = dict(model_cfg=model_cfg, policy=policy, seq_len=seq_len,
                    guide_scale=float(guide_scale), attn_impl=attn_impl,
-                   token_sharding=token_sharding, cfg_mode=cfg_mode,
-                   ffn_impl=ffn_impl)
+                   token_sharding=token_sharding, cfg_mode=cfg_mode)
 
     import contextlib
     from omnihuman_tpu.parallel.mesh import use_mesh

@@ -58,7 +58,7 @@ def load_exported(path: str):
 def export_t2v_denoise_step(
     config, size: Tuple[int, int], frame_num: int, path: str,
     guide_scale: float = 5.0, platforms: Tuple[str, ...] = ("tpu",),
-    cfg_mode: str = "fused", ffn_impl: str = "xla",
+    cfg_mode: str = "fused",
     param_dtype=None) -> str:
     """Export the t2v CFG denoise step for a registry config at a fixed
     size/frame_num (static shapes are the serving contract — one artifact
@@ -102,21 +102,20 @@ def export_t2v_denoise_step(
         return _cfg_model_step(
             params, x, t, ctx2, rope_sin, rope_cos,
             model_cfg=mcfg, policy=config.policy, seq_len=seq_len,
-            guide_scale=float(guide_scale), cfg_mode=cfg_mode,
-            ffn_impl=ffn_impl)
+            guide_scale=float(guide_scale), cfg_mode=cfg_mode)
 
     return export_jitted(
         step, shapes, path, platforms=platforms,
         metadata={"config": getattr(config, "name", "?"),
                   "size": list(size), "frame_num": frame_num,
                   "seq_len": seq_len, "guide_scale": guide_scale,
-                  "cfg_mode": cfg_mode, "ffn_impl": ffn_impl})
+                  "cfg_mode": cfg_mode})
 
 
 def export_i2v_denoise_step(
     config, size: Tuple[int, int], frame_num: int, path: str,
     guide_scale: float = 5.0, platforms: Tuple[str, ...] = ("tpu",),
-    cfg_mode: str = "fused", ffn_impl: str = "xla",
+    cfg_mode: str = "fused",
     param_dtype=None) -> str:
     """i2v variant: signature (params, x, t, ctx2, y2, clip2, rope_sin,
     rope_cos) — y2 is the [mask ++ reference-latent] channel concat and
@@ -157,12 +156,11 @@ def export_i2v_denoise_step(
         return _i2v_cfg_model_step(
             params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
             model_cfg=mcfg, policy=config.policy, seq_len=seq_len,
-            guide_scale=float(guide_scale), cfg_mode=cfg_mode,
-            ffn_impl=ffn_impl)
+            guide_scale=float(guide_scale), cfg_mode=cfg_mode)
 
     return export_jitted(
         step, shapes, path, platforms=platforms,
         metadata={"config": getattr(config, "name", "?"), "task": "i2v",
                   "size": list(size), "frame_num": frame_num,
                   "seq_len": seq_len, "guide_scale": guide_scale,
-                  "cfg_mode": cfg_mode, "ffn_impl": ffn_impl})
+                  "cfg_mode": cfg_mode})
