@@ -617,11 +617,17 @@ def _zero_caches(spec, params, batch, h, w, cfg, dtype, encoder: bool):
 
 
 def _auto_conv_impl(streaming: bool) -> str:
-    """Resolve conv_impl='auto'. Pallas requires: TPU backend, streaming
-    mode, and NO active mesh — a bare pallas_call inside a mesh-jit
-    cannot be GSPMD-partitioned (see ops/attention.py and
-    REPORTS/memory_14B.md notes). Currently pinned to XLA until the
-    kernels are re-verified on silicon (tunnel outage, REPORTS/perf_r3)."""
+    """Resolve conv_impl='auto' — XLA, by on-chip measurement.
+
+    Round-4 adopt/kill sweep on the real v5e (REPORTS/perf_r4.md):
+    fused-Pallas streaming decode 4807 ms vs XLA 4865 ms at 81f 480x832
+    — a 1.2% win that costs a 522 s Mosaic compile, and the encoder
+    variant crashes the remote compile helper outright (HTTP 500).
+    Decision: XLA everywhere; the kernels remain explicit opt-ins
+    (conv_impl='pallas') for future-hardware re-evaluation. Multi-chip
+    serving speedup comes from `spatial_sharding` (W-axis GSPMD)
+    instead. Pallas also requires: TPU backend, streaming mode, NO
+    active mesh (bare pallas_call cannot be GSPMD-partitioned)."""
     return "xla"
 
 
@@ -633,29 +639,38 @@ def _latent_scale(cfg: VAEConfig):
 
 def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
                streaming: bool = True,
-               conv_impl: str = "auto") -> jnp.ndarray:
+               conv_impl: str = "auto",
+               spatial_sharding=None) -> jnp.ndarray:
     """[B, 3, T, H, W] (T = 1+4k) → normalized latent mu
     [B, z, 1+k, H/8, W/8] (reference encode, vae.py:515-541).
 
-    conv_impl: see vae_decode — the encoder resblocks share the fused
-    Pallas norm→SiLU→conv path."""
+    conv_impl / spatial_sharding: see vae_decode — the encoder shares
+    both the fused Pallas resblock path and the W-axis GSPMD plan."""
     spec = encoder_spec(cfg)
     if conv_impl == "auto":
         conv_impl = _auto_conv_impl(streaming)
+    if spatial_sharding is not None and conv_impl != "xla":
+        raise ValueError(
+            f"spatial_sharding requires conv_impl='xla' (got "
+            f"{conv_impl!r}): Mosaic kernels cannot be automatically "
+            "partitioned by GSPMD")
     fused = {"xla": "", "pallas": "pallas",
              "pallas_interpret": "interpret"}[conv_impl]
     if not streaming:
         fused = ""
+    constrain = (lambda t: t) if spatial_sharding is None else (
+        lambda t: jax.lax.with_sharding_constraint(t, spatial_sharding))
     eparams = _optimize_decoder_params(params["encoder"], spec,
                                        fused=fused)
     b, _, t, h, w = video.shape
-    x = video.transpose(0, 2, 3, 4, 1)           # → [B, T, H, W, 3]
+    x = constrain(video.transpose(0, 2, 3, 4, 1))  # → [B, T, H, W, 3]
 
     if not streaming:
         out = _run_stack(spec, eparams, x, _CacheIO(None), first=False)
     else:
         caches = _zero_caches(spec, eparams, b, h, w, cfg, x.dtype,
                               encoder=True)
+        caches = [constrain(c) for c in caches]
         io0 = _CacheIO(caches)
         out0 = _run_stack(spec, eparams, x[:, :1], io0, first=True,
                           fused=fused)
@@ -690,7 +705,8 @@ def vae_encode(params: Params, video: jnp.ndarray, cfg: VAEConfig,
 def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
                streaming: bool = True, clamp: bool = True,
                frame_chunk: int = 1, scan_unroll: int = 1,
-               conv_impl: str = "auto") -> jnp.ndarray:
+               conv_impl: str = "auto",
+               spatial_sharding=None) -> jnp.ndarray:
     """normalized latent [B, z, Tz, h, w] → video [B, 3, 1+4(Tz-1), 8h, 8w]
     (reference decode, vae.py:544-566).
 
@@ -702,16 +718,33 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
     scan_unroll: lax.scan unroll factor for the streaming loop (same
     outputs; lets XLA fuse layouts across consecutive steps).
 
-    conv_impl: "auto" (currently XLA everywhere — flip to Pallas on TPU
-    once the kernel is re-verified on a real chip), "xla", "pallas", or
-    "pallas_interpret" (CPU tests)."""
+    conv_impl: "auto" (XLA everywhere — the fused Pallas resblock family
+    measured 4807 vs 4865 ms on the real v5e at a 522 s compile cost,
+    REPORTS/perf_r4.md: kept as explicit opt-in only), "xla", "pallas",
+    or "pallas_interpret" (CPU tests).
+
+    spatial_sharding: optional `NamedSharding` over the channels-last
+    activation rank-5 layout (e.g. P(None, None, None, 'sp', None) to
+    shard the W axis). Decode is single-chip-bound at ~4.9 s/81f; convs
+    are spatially local, so GSPMD partitions every conv over W with
+    halo exchanges on ICI — the v5e-8 serving answer for the ≤30 s
+    north-star clip. Sharded-vs-unsharded equivalence:
+    tests/test_vae_mesh.py. Requires conv_impl='xla' (a bare Pallas
+    call cannot be GSPMD-partitioned)."""
     spec = decoder_spec(cfg)
     if conv_impl == "auto":
         conv_impl = _auto_conv_impl(streaming)
+    if spatial_sharding is not None and conv_impl != "xla":
+        raise ValueError(
+            f"spatial_sharding requires conv_impl='xla' (got "
+            f"{conv_impl!r}): Mosaic kernels cannot be automatically "
+            "partitioned by GSPMD")
     fused = {"xla": "", "pallas": "pallas",
              "pallas_interpret": "interpret"}[conv_impl]
     if not streaming:
         fused = ""
+    constrain = (lambda t: t) if spatial_sharding is None else (
+        lambda t: jax.lax.with_sharding_constraint(t, spatial_sharding))
     dparams = _optimize_decoder_params(params["decoder"], spec,
                                        fused=fused)
     b, zc, tz, h, w = z.shape
@@ -719,14 +752,15 @@ def vae_decode(params: Params, z: jnp.ndarray, cfg: VAEConfig,
 
     mean, std = _latent_scale(cfg)
     zt = (zt.astype(jnp.float32) * std + mean).astype(z.dtype)
-    x = _conv3d(zt, params["conv2"]["w"], params["conv2"]["b"],
-                padding="valid_t")
+    x = constrain(_conv3d(zt, params["conv2"]["w"], params["conv2"]["b"],
+                          padding="valid_t"))
 
     if not streaming:
         out = _run_stack(spec, dparams, x, _CacheIO(None), first=False)
     else:
         caches = _zero_caches(spec, dparams, b, h, w, cfg, z.dtype,
                               encoder=False)
+        caches = [constrain(c) for c in caches]
         io0 = _CacheIO(caches)
         out0 = _run_stack(spec, dparams, x[:, :1], io0, first=True,
                           fused=fused)
