@@ -35,15 +35,28 @@ from omnihuman_tpu.utils.logging import logger
 # Frechet distance core
 
 
-def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
-    """FID/FVD core: ||mu_a - mu_b||^2 + Tr(Ca + Cb - 2 sqrt(Ca Cb))."""
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """FID/FVD core: ||mu_a - mu_b||^2 + Tr(Ca + Cb - 2 sqrt(Ca Cb)).
+
+    When N < feature dim the covariances are rank-deficient and
+    `sqrtm` can return non-finite values — stabilized with the standard
+    pytorch-fid eps-offset retry (sqrt((Ca+εI)(Cb+εI)))."""
     mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
     ca = np.cov(feats_a, rowvar=False)
     cb = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    covmean = linalg.sqrtm(ca @ cb)
-    if isinstance(covmean, tuple):   # older scipy returns (sqrtm, errest)
-        covmean = covmean[0]
+
+    def _sqrtm(a, b):
+        m = linalg.sqrtm(a @ b)
+        if isinstance(m, tuple):   # older scipy returns (sqrtm, errest)
+            m = m[0]
+        return m
+
+    covmean = _sqrtm(ca, cb)
+    if not np.all(np.isfinite(covmean)):
+        off = eps * np.eye(ca.shape[0])
+        covmean = _sqrtm(ca + off, cb + off)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(ca + cb - 2.0 * covmean))
@@ -179,7 +192,17 @@ class OmniHumanEvaluator:
                  visual_embed_fn: Optional[Callable] = None,
                  output_dir: str = "eval_results",
                  use_inception: bool = True,
-                 inception_weights: Optional[str] = None):
+                 inception_weights: Optional[str] = None,
+                 i3d_weights: Optional[str] = None):
+        # FVD's temporal backbone: when I3D weights are supplied, video
+        # features come from the real Kinetics I3D (omni/i3d.py) instead
+        # of the per-frame Inception stand-in — the reference's "I3D"
+        # is a torch.randn placeholder (omnihuman-eval.py:30-33)
+        self.fvd_feature_space = None
+        if fvd_feature_fn is None and i3d_weights is not None:
+            from omnihuman_tpu.omni.i3d import I3DVideoFeatures
+            fvd_feature_fn = I3DVideoFeatures(i3d_weights)
+            self.fvd_feature_space = "i3d_kinetics"
         if fid_feature_fn is not None or fvd_feature_fn is not None:
             self.feature_space = "custom"
         elif use_inception:
@@ -253,6 +276,8 @@ class OmniHumanEvaluator:
         # from the random-init proxy can never be silently compared with
         # pretrained-Inception (paper-comparable) numbers (VERDICT r2 weak #6)
         metrics["feature_space"] = self.feature_space
+        if self.fvd_feature_space is not None:
+            metrics["fvd_feature_space"] = self.fvd_feature_space
         return metrics
 
     def evaluate_model(self, generate_fn: Callable, dataset,
