@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence-parallel degree (sp mesh axis)")
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-sharding degree (fsdp mesh axis)")
+    p.add_argument("--precision", default="fast",
+                   choices=("fast", "reference"),
+                   help="serving default 'fast' = bf16 residual stream "
+                        "(real-chip pixel gate: PSNR 39.8 dB / SSIM "
+                        "0.989 vs fp32, 3.6%% faster step — "
+                        "REPORTS/perf_r4.md §6); 'reference' = fp32 "
+                        "residual, exact torch-reference parity")
     p.add_argument("--cfg_mode", default=None,
                    choices=("fused", "sequential"),
                    help="classifier-free-guidance execution: fused 2B "
@@ -126,7 +133,8 @@ def main(argv=None):
         import numpy as np
         from PIL import Image
         from omnihuman_tpu.pipelines.image2video import WanI2V
-        pipe = WanI2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+        pipe = WanI2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                      precision=args.precision)
         img = np.asarray(Image.open(args.image).convert("RGB"),
                          np.float32).transpose(2, 0, 1) / 127.5 - 1.0
         with prof:
@@ -141,7 +149,8 @@ def main(argv=None):
                 cfg_mode=args.cfg_mode)
     else:
         from omnihuman_tpu.pipelines.text2video import WanT2V
-        pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+        pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                      precision=args.precision)
         with prof:
             video = pipe.generate(
                 args.prompt, size=(w, h), frame_num=frame_num,

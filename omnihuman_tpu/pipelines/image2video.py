@@ -35,10 +35,11 @@ class WanI2V(WanT2V):
 
     def __init__(self, config: WanConfig, checkpoint_dir: Optional[str] = None,
                  mesh=None, init_seed: int = 0,
-                 param_dtype: jnp.dtype = jnp.bfloat16, tokenizer=None):
+                 param_dtype: jnp.dtype = jnp.bfloat16, tokenizer=None,
+                 precision: str = "reference"):
         super().__init__(config, checkpoint_dir=checkpoint_dir, mesh=mesh,
                          init_seed=init_seed, param_dtype=param_dtype,
-                         tokenizer=tokenizer)
+                         tokenizer=tokenizer, precision=precision)
         assert config.clip is not None, "i2v config requires a CLIP encoder"
         self.clip = clip_mod.CLIPModel(config.clip, init_seed=init_seed + 1)
 
@@ -137,7 +138,7 @@ class WanI2V(WanT2V):
         latents = _i2v_sample(
             self.params, noise, y, clip_fea, context, context_null,
             context_lens=context_lens,
-            model_cfg=cfg.model, policy=cfg.policy,
+            model_cfg=cfg.model, policy=self.policy,
             patch_size=self.patch_size, seq_len=seq_len, shift=shift,
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,

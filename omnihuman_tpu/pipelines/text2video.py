@@ -55,10 +55,26 @@ class WanT2V:
         init_seed: int = 0,
         param_dtype: jnp.dtype = jnp.bfloat16,
         tokenizer: Optional[HuggingfaceTokenizer] = None,
+        precision: str = "reference",
     ):
         self.config = config
         self.mesh = mesh
         self.param_dtype = param_dtype
+        # precision="fast" is the documented serving mode: bf16 residual
+        # stream (the context trim rides the tokenizer lens either way
+        # and is exact). Pixel gate on the real chip (_bf16_pixel_gate,
+        # REPORTS/perf_r4.md §6): PSNR 39.8 dB / SSIM 0.989 vs the fp32
+        # reference at a measured 3813.8 vs 3956.7 ms step
+        # (REPORTS/perf_r3.md). "reference" keeps the fp32 residual the
+        # torch reference uses (model.py:287-296) — the parity default.
+        if precision not in ("reference", "fast"):
+            raise ValueError(f"unknown precision {precision!r}; "
+                             "supported: 'reference', 'fast'")
+        self.precision = precision
+        import dataclasses as _dc
+        self.policy = (config.policy if precision == "reference"
+                       else _dc.replace(config.policy,
+                                        residual=jnp.bfloat16))
         self.vae_stride = config.vae_stride
         self.patch_size = config.model.patch_size
         self.sp_size = 1 if mesh is None else mesh.shape.get("sp", 1)
@@ -255,7 +271,7 @@ class WanT2V:
 
         latents = sample(
             self.params, noise, context, context_null,
-            model_cfg=self.config.model, policy=self.config.policy,
+            model_cfg=self.config.model, policy=self.policy,
             patch_size=self.patch_size, seq_len=seq_len, shift=shift,
             solver=sample_solver, steps=sampling_steps,
             guide_scale=guide_scale,

@@ -87,7 +87,8 @@ class SeaweedWanAPTGenerator:
         t0 = time.perf_counter()
         with mesh_ctx():
             v = _one_step(self.params, noise, context, cfg.model, seq_len,
-                          sin, cos, cfg.policy,
+                          sin, cos,
+                          getattr(self.pipe, "policy", cfg.policy),
                           float(cfg.num_train_timesteps),
                           context_lens=None if context_lens is None
                           else jnp.asarray(context_lens, jnp.int32),

@@ -110,3 +110,30 @@ def test_generate_with_internal_text_encoding(pipe):
                           sampling_steps=2, seed=5)
     assert video.shape == (3, 1, 32, 32)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_precision_fast_mode(pipe):
+    """precision='fast' (the documented serving default in the generate
+    CLI) runs the bf16-residual policy: outputs stay finite and close to
+    the fp32-residual reference (real-chip pixel gate: PSNR 39.8 dB /
+    SSIM 0.989, REPORTS/perf_r4.md §6). Unknown names fail loudly."""
+    import jax.numpy as jnp
+
+    fast = WanT2V(TINY_TEST, checkpoint_dir=None,
+                  param_dtype=jnp.float32, precision="fast")
+    fast.params = pipe.params
+    assert fast.policy.residual == jnp.bfloat16
+    assert pipe.policy.residual == jnp.float32
+
+    kw = dict(size=(32, 32), frame_num=1, sampling_steps=2, seed=3,
+              context=_ctx(pipe, 0), context_null=_ctx(pipe, 1),
+              return_latents=True)
+    ref = np.asarray(pipe.generate("x", **kw))
+    got = np.asarray(fast.generate("x", **kw))
+    assert np.isfinite(got).all()
+    rel = np.sqrt(np.mean((got - ref) ** 2) / np.maximum(
+        np.mean(ref ** 2), 1e-12))
+    assert 0 < rel < 0.15, rel    # differs (bf16), but stays close
+
+    with pytest.raises(ValueError, match="unknown precision"):
+        WanT2V(TINY_TEST, checkpoint_dir=None, precision="turbo")
