@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--precision", default="fast",
+                   choices=("fast", "reference"),
+                   help="'fast' (serving default) = bf16 residual stream "
+                        "(real-chip pixel gate PSNR 39.8 dB / SSIM 0.989 "
+                        "vs fp32, REPORTS/perf_r4.md §6); 'reference' = "
+                        "fp32 residual, exact reference parity")
     p.add_argument("--output", default="omnihuman_output.mp4")
     from omnihuman_tpu.parallel.train_mesh import add_mesh_args
     add_mesh_args(p)   # --fsdp_size / --sp_size / --remat_group
@@ -63,6 +69,9 @@ def main(argv=None):
 
     cfg = WAN_CONFIGS[args.task]
     base, vcfg, policy = cfg.model, cfg.vae, cfg.policy
+    if args.precision == "fast":
+        import dataclasses
+        policy = dataclasses.replace(policy, residual=jnp.bfloat16)
     ocfg = OmniModelConfig(base=base, num_frames=args.num_frames)
 
     # ---- mesh plan (VERDICT r3 item 4: the flagship omni-14B config is

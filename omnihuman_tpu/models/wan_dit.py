@@ -293,7 +293,9 @@ def _block_forward(bp, x, e0, context, context_lens, rope_sin, rope_cos,
             {k: ap[k] for k in ("q", "k", "v", "o", "norm_q", "norm_k")},
             h, audio_ctx, None, dataclasses.replace(cfg, model_type="t2v"),
             policy, attn_impl)
-        x = x + y.astype(jnp.float32) * ap["gate"].astype(jnp.float32)
+        x = (x.astype(jnp.float32)
+             + y.astype(jnp.float32) * ap["gate"].astype(jnp.float32)
+             ).astype(rd)
 
     # FFN with AdaLN modulation
     h = layer_norm(x, eps=cfg.eps, out_dtype=jnp.float32)
