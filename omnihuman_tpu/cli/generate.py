@@ -89,14 +89,17 @@ def main(argv=None):
                                    else cfg.frame_num)
 
     if args.export_step:
-        from omnihuman_tpu.utils.export import export_t2v_denoise_step
+        from omnihuman_tpu.utils.export import (
+            export_i2v_denoise_step, export_t2v_denoise_step)
         guide = (args.sample_guide_scale
                  if args.sample_guide_scale is not None
                  else cfg.sample_guide_scale)
-        path = export_t2v_denoise_step(
+        exporter = (export_i2v_denoise_step if args.task.startswith("i2v")
+                    else export_t2v_denoise_step)
+        path = exporter(
             cfg, (w, h), frame_num, args.export_step, guide_scale=guide,
             platforms=(args.export_platform,),
-            cfg_mode=args.cfg_mode or "fused")
+            cfg_mode=args.cfg_mode or "fused", precision=args.precision)
         logger.info(f"exported serving step -> {path} (+.json sidecar)")
         return path
 

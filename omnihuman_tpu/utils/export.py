@@ -24,6 +24,25 @@ from jax import export as jax_export
 MAGIC = "omnihuman_tpu.export.v1"
 
 
+def _resolve_policy(config, precision: str):
+    """Map the serving precision name onto the config's dtype policy.
+
+    'reference' = the registry policy (fp32 residual, exact torch
+    parity); 'fast' = bf16 residual stream — the pixel-gated serving
+    mode (PSNR 39.8 dB / SSIM 0.989 vs fp32 on the real chip,
+    REPORTS/perf_r4.md §6).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    if precision == "reference":
+        return config.policy
+    if precision == "fast":
+        return dataclasses.replace(config.policy, residual=jnp.bfloat16)
+    raise ValueError(f"unknown precision {precision!r}; "
+                     "expected 'fast' or 'reference'")
+
+
 def export_jitted(fn: Callable, args_shapes: Sequence[Any], path: str,
                   platforms: Tuple[str, ...] = ("tpu",),
                   metadata: Optional[Dict[str, Any]] = None) -> str:
@@ -58,7 +77,7 @@ def load_exported(path: str):
 def export_t2v_denoise_step(
     config, size: Tuple[int, int], frame_num: int, path: str,
     guide_scale: float = 5.0, platforms: Tuple[str, ...] = ("tpu",),
-    cfg_mode: str = "fused",
+    cfg_mode: str = "fused", precision: str = "reference",
     param_dtype=None) -> str:
     """Export the t2v CFG denoise step for a registry config at a fixed
     size/frame_num (static shapes are the serving contract — one artifact
@@ -98,10 +117,12 @@ def export_t2v_denoise_step(
         sd((seq_len, mcfg.head_dim // 2), jnp.float32),   # rope cos
     )
 
+    policy = _resolve_policy(config, precision)
+
     def step(params, x, t, ctx2, rope_sin, rope_cos):
         return _cfg_model_step(
             params, x, t, ctx2, rope_sin, rope_cos,
-            model_cfg=mcfg, policy=config.policy, seq_len=seq_len,
+            model_cfg=mcfg, policy=policy, seq_len=seq_len,
             guide_scale=float(guide_scale), cfg_mode=cfg_mode)
 
     return export_jitted(
@@ -109,13 +130,13 @@ def export_t2v_denoise_step(
         metadata={"config": getattr(config, "name", "?"),
                   "size": list(size), "frame_num": frame_num,
                   "seq_len": seq_len, "guide_scale": guide_scale,
-                  "cfg_mode": cfg_mode})
+                  "cfg_mode": cfg_mode, "precision": precision})
 
 
 def export_i2v_denoise_step(
     config, size: Tuple[int, int], frame_num: int, path: str,
     guide_scale: float = 5.0, platforms: Tuple[str, ...] = ("tpu",),
-    cfg_mode: str = "fused",
+    cfg_mode: str = "fused", precision: str = "reference",
     param_dtype=None) -> str:
     """i2v variant: signature (params, x, t, ctx2, y2, clip2, rope_sin,
     rope_cos) — y2 is the [mask ++ reference-latent] channel concat and
@@ -152,10 +173,12 @@ def export_i2v_denoise_step(
         sd((seq_len, mcfg.head_dim // 2), jnp.float32),
     )
 
+    policy = _resolve_policy(config, precision)
+
     def step(params, x, t, ctx2, y2, clip2, rope_sin, rope_cos):
         return _i2v_cfg_model_step(
             params, x, t, ctx2, y2, clip2, rope_sin, rope_cos,
-            model_cfg=mcfg, policy=config.policy, seq_len=seq_len,
+            model_cfg=mcfg, policy=policy, seq_len=seq_len,
             guide_scale=float(guide_scale), cfg_mode=cfg_mode)
 
     return export_jitted(
@@ -163,4 +186,4 @@ def export_i2v_denoise_step(
         metadata={"config": getattr(config, "name", "?"), "task": "i2v",
                   "size": list(size), "frame_num": frame_num,
                   "seq_len": seq_len, "guide_scale": guide_scale,
-                  "cfg_mode": cfg_mode})
+                  "cfg_mode": cfg_mode, "precision": precision})

@@ -56,6 +56,33 @@ def test_export_roundtrip_matches_direct(tmp_path):
     assert meta["seq_len"] == seq_len
 
 
+def test_export_fast_precision(tmp_path):
+    """precision='fast' exports the bf16-residual serving step: it must
+    match the bf16-residual direct step exactly, be recorded in the
+    sidecar, and genuinely differ from the fp32-residual artifact."""
+    import dataclasses
+    import json
+
+    (cfg, seq_len, params, x, t, ctx2, sin, cos,
+     size, frames) = _step_inputs(seed=3)
+    path = str(tmp_path / "step_fast.bin")
+    export_t2v_denoise_step(cfg, size, frames, path, guide_scale=5.0,
+                            platforms=("cpu",), precision="fast")
+    art = load_exported(path)
+    got = np.asarray(art.call(params, x, t, ctx2, sin, cos))
+    fast_policy = dataclasses.replace(cfg.policy, residual=jnp.bfloat16)
+    want = np.asarray(_cfg_model_step(
+        params, x, t, ctx2, sin, cos, model_cfg=cfg.model,
+        policy=fast_policy, seq_len=seq_len, guide_scale=5.0))
+    assert float(np.max(np.abs(got - want))) < 1e-5
+    ref = np.asarray(_cfg_model_step(
+        params, x, t, ctx2, sin, cos, model_cfg=cfg.model,
+        policy=cfg.policy, seq_len=seq_len, guide_scale=5.0))
+    assert float(np.max(np.abs(got - ref))) > 0.0   # bf16 stream differs
+    meta = json.load(open(path + ".json"))
+    assert meta["precision"] == "fast"
+
+
 def test_export_tpu_platform_serializes(tmp_path):
     """TPU-platform artifacts lower + serialize on this CPU-only host
     (they run on a real chip; the lowering itself is the gate here)."""
