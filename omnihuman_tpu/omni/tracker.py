@@ -3,18 +3,31 @@
 Capability parity with reference Omnihuman/video_tracker.py:8-361
 (`ProblematicVideoTracker`): typed events (VIDEO_TOO_SHORT, NO_AUDIO,
 INVALID_FRAMES, FACE/LANDMARK_DETECTION_FAILED, PROCESSING_ERROR,
-NO_VALID_WINDOWS), handler registry + dispatch, append-only event log,
-persisted invalid-video list, processing summary, plus the offline
-utilities to parse logs and clean up bad videos (":187-313").
+NO_VALID_WINDOWS), a notification hook for custom sinks, a persistent
+event log, a persisted invalid-video list, a processing summary, plus
+offline utilities to parse logs and clean up bad videos (":187-313").
 
-Design change: the singleton pattern is kept for API parity but a
-`reset()` hook exists so tests and multi-run processes aren't wedged by
-the reference's one-shot `_initialized` latch.
+Redesigned rather than mirrored:
+  * events are persisted as JSONL (one machine-readable record per
+    line) instead of a tab-separated text log, with full failure
+    detail additionally kept in ``failures.json``;
+  * ``invalid_videos.txt`` is a plain one-path-per-line list so it can
+    be consumed directly as a dataset exclusion filter;
+  * the reference's per-event handler registry (three default handlers
+    looped per dispatch) is replaced by a single built-in recorder plus
+    an optional subscriber list (`subscribe`).
+The seven event *names* are kept verbatim: they are the log-format
+compatibility contract with reference-produced datasets.
+
+The singleton pattern is kept for API parity but a `reset()` hook
+exists so tests and multi-run processes aren't wedged by the
+reference's one-shot `_initialized` latch.
 """
 
 from __future__ import annotations
 
 import enum
+import json
 import os
 import shutil
 import time
@@ -47,6 +60,15 @@ class VideoEventData:
         if self.timestamp is None:
             self.timestamp = time.time()
 
+    def as_record(self) -> Dict[str, Any]:
+        return {
+            "ts": datetime.fromtimestamp(self.timestamp).isoformat(
+                timespec="seconds"),
+            "event": self.event_type.value,
+            "video": self.video_path,
+            "details": self.details,
+        }
+
 
 class ProblematicVideoTracker:
     """Singleton event bus for data-pipeline failures."""
@@ -66,14 +88,13 @@ class ProblematicVideoTracker:
         self.output_dir = output_dir
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.invalid_videos_path = self.output_dir / "invalid_videos.txt"
-        self.event_log_path = self.output_dir / "video_events.log"
+        self.event_log_path = self.output_dir / "events.jsonl"
+        self.failures_path = self.output_dir / "failures.json"
         self.summary_path = self.output_dir / "processing_summary.txt"
         self.problematic_videos: Set[str] = set()
         self.failed_videos: Dict[str, List[VideoEventData]] = {}
         self.event_counts: Dict[VideoEvent, int] = {e: 0 for e in VideoEvent}
-        self._handlers: Dict[VideoEvent, List[Callable]] = {
-            e: [] for e in VideoEvent}
-        self.register_default_handlers()
+        self._subscribers: List[Callable[[VideoEventData], None]] = []
         logger.info(f"ProblematicVideoTracker at {output_dir}")
 
     @classmethod
@@ -86,65 +107,51 @@ class ProblematicVideoTracker:
     def reset(cls):
         cls._instance = None
 
-    # -- handlers -----------------------------------------------------------
+    # -- event intake ---------------------------------------------------------
 
-    def register_default_handlers(self):
-        for e in VideoEvent:
-            self.register_handler(e, self._log_event)
-            self.register_handler(e, self._track_failure)
-            self.register_handler(e, self._update_counts)
-
-    def register_handler(self, event: VideoEvent, handler: Callable):
-        self._handlers.setdefault(event, []).append(handler)
-
-    def dispatch(self, event_data: VideoEventData):
-        for handler in self._handlers.get(event_data.event_type, []):
-            try:
-                handler(event_data)
-            except Exception as e:  # pragma: no cover
-                logger.error(f"Error in event handler: {e}")
+    def subscribe(self, fn: Callable[[VideoEventData], None]):
+        """Attach an extra sink; called after the built-in recorder."""
+        self._subscribers.append(fn)
 
     def track(self, video_path: str, event: VideoEvent,
               details: Optional[Dict] = None):
-        """Convenience: build + dispatch."""
         self.dispatch(VideoEventData(str(video_path), event, details or {}))
 
-    # -- default handlers ---------------------------------------------------
+    def dispatch(self, d: VideoEventData):
+        self._record(d)
+        for fn in self._subscribers:
+            try:
+                fn(d)
+            except Exception as e:  # pragma: no cover
+                logger.error(f"tracker subscriber failed: {e}")
 
-    def _log_event(self, d: VideoEventData):
-        ts = datetime.fromtimestamp(d.timestamp).strftime("%Y-%m-%d %H:%M:%S")
-        with open(self.event_log_path, "a") as f:
-            f.write(f"{ts}\t{d.event_type.value}\t{d.video_path}\t"
-                    f"{d.details}\n")
-
-    def _track_failure(self, d: VideoEventData):
+    def _record(self, d: VideoEventData):
+        self.event_counts[d.event_type] += 1
         self.failed_videos.setdefault(d.video_path, []).append(d)
         self.problematic_videos.add(d.video_path)
-        self._save_failures()
+        with open(self.event_log_path, "a") as f:
+            f.write(json.dumps(d.as_record()) + "\n")
+        self._flush_failure_files()
 
-    def _update_counts(self, d: VideoEventData):
-        self.event_counts[d.event_type] += 1
+    # -- persisted artifacts --------------------------------------------------
 
-    def _save_failures(self):
-        with open(self.invalid_videos_path, "w") as f:
-            f.write("# Failed Videos Report\n\n")
-            for path, events in self.failed_videos.items():
-                f.write(f"\n{path}:\n")
-                for ev in sorted(events, key=lambda e: e.timestamp):
-                    ts = datetime.fromtimestamp(ev.timestamp).strftime(
-                        "%Y-%m-%d %H:%M:%S")
-                    f.write(f"  {ts} - {ev.event_type.value}: "
-                            f"{ev.details}\n")
+    def _flush_failure_files(self):
+        # one path per line: directly usable as a dataset exclusion list
+        self.invalid_videos_path.write_text(
+            "".join(f"{p}\n" for p in sorted(self.problematic_videos)))
+        detail = {
+            path: [ev.as_record() for ev in
+                   sorted(events, key=lambda e: e.timestamp)]
+            for path, events in self.failed_videos.items()
+        }
+        self.failures_path.write_text(json.dumps(detail, indent=1))
 
     def save_summary(self):
-        with open(self.summary_path, "w") as f:
-            f.write("# Video Processing Summary\n\n")
-            f.write("Total problematic videos: "
-                    f"{len(self.problematic_videos)}\n\n")
-            f.write("Event Counts:\n")
-            for e, c in self.event_counts.items():
-                if c > 0:
-                    f.write(f"  {e.value}: {c}\n")
+        lines = [f"videos excluded: {len(self.problematic_videos)}",
+                 f"events recorded: {sum(self.event_counts.values())}"]
+        lines += [f"{e.value} = {c}"
+                  for e, c in self.event_counts.items() if c]
+        self.summary_path.write_text("".join(f"{ln}\n" for ln in lines))
 
     def get_problematic_videos(self) -> Set[str]:
         return self.problematic_videos
@@ -155,16 +162,23 @@ class ProblematicVideoTracker:
 
 
 def parse_event_log(log_path: str) -> Dict[str, List[str]]:
-    """event log → {video_path: [event names]}."""
+    """JSONL event log → {video_path: [event names]}."""
     failures: Dict[str, List[str]] = {}
     if not os.path.exists(log_path):
         return failures
     with open(log_path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) >= 3:
-                _, event, path = parts[0], parts[1], parts[2]
-                failures.setdefault(path, []).append(event)
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+                failures.setdefault(rec["video"], []).append(rec["event"])
+            except (json.JSONDecodeError, KeyError):
+                # tolerate the legacy tab-separated format (ts, event, path)
+                parts = line.split("\t")
+                if len(parts) >= 3:
+                    failures.setdefault(parts[2], []).append(parts[1])
     return failures
 
 

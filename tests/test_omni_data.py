@@ -33,14 +33,22 @@ def test_tracker_events_and_summary(tmp_path):
     assert tr.event_counts[VideoEvent.NO_AUDIO] == 1
     tr.save_summary()
     assert (tmp_path / "bad" / "processing_summary.txt").exists()
-    assert (tmp_path / "bad" / "invalid_videos.txt").exists()
+    # invalid_videos.txt is a plain exclusion list, one path per line
+    lines = (tmp_path / "bad" / "invalid_videos.txt").read_text().split()
+    assert lines == ["/data/a.mp4", "/data/b.mp4"]
+    # failures.json carries the full per-video event detail
+    import json as _json
+    detail = _json.loads((tmp_path / "bad" / "failures.json").read_text())
+    assert [e["event"] for e in detail["/data/a.mp4"]] == [
+        "no_audio", "video_too_short"]
 
     # singleton: second constructor returns the same instance
     tr2 = ProblematicVideoTracker()
     assert tr2 is tr
 
-    failures = parse_event_log(str(tmp_path / "bad" / "video_events.log"))
+    failures = parse_event_log(str(tmp_path / "bad" / "events.jsonl"))
     assert set(failures) == {"/data/a.mp4", "/data/b.mp4"}
+    assert failures["/data/b.mp4"] == ["processing_error"]
     ProblematicVideoTracker.reset()
 
 
