@@ -64,6 +64,23 @@ def test_forward_all_conditions(omni):
     assert np.isfinite(np.asarray(v)).all()
 
 
+def test_forward_bf16_residual_all_conditions(omni):
+    """Serving fast mode (bf16 residual) through every condition branch.
+
+    Regression: the audio-adapter residual add promoted the bf16 scan
+    carry to f32 (gate math in fp32 without a cast back), breaking
+    lax.scan carry typing the first time the omni model ran under
+    --precision fast."""
+    params, batch = omni
+    fast = dataclasses.replace(FP32, residual=jnp.bfloat16)
+    v = omni_model_forward(
+        params, batch["frames"], jnp.asarray([500., 100.]), batch["context"],
+        cfg=OCFG, audio=batch["audio"], pose=batch["pose"],
+        ref_latent=batch["reference"], policy=fast, remat=False)
+    assert v.shape == (B, 16, F, H, W)
+    assert np.isfinite(np.asarray(v)).all()
+
+
 def test_zero_init_adapters_noop(omni):
     """Audio adapter (zero o-proj) and pose proj (zero) must be exact
     no-ops at init: output with/without those conditions identical."""
