@@ -115,6 +115,38 @@ def main():
     # and the APT one-step (batch-1, no CFG) DiT forward ---
     extra = {}
     try:
+        # serving fast mode (--precision fast, the generate-CLI default):
+        # bf16 residual stream, pixel-gated at PSNR 39.8 dB / SSIM 0.989
+        # vs fp32 (REPORTS/perf_r4.md §6). The headline stays the
+        # fp32-residual reference-parity step for round-over-round
+        # comparability.
+        import dataclasses
+
+        from omnihuman_tpu.configs.wan import DTypePolicy
+
+        fast_policy = dataclasses.replace(DTypePolicy(),
+                                          residual=jnp.bfloat16)
+
+        @jax.jit
+        def cfg_step_fast(params, x, t, ctx):
+            v = wan_model_forward(params, x, t, ctx, cfg=cfg.model,
+                                  seq_len=seq_len, rope_sin=sin,
+                                  rope_cos=cos, policy=fast_policy,
+                                  remat=False)
+            vc, vu = jnp.split(v, 2, axis=0)
+            return vu + 5.0 * (vc - vu)
+
+        float(jnp.sum(cfg_step_fast(params, x, t, ctx)[:, 0, 0, 0, 0]))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(cfg_step_fast(params, x, t, ctx)[:, 0, 0, 0, 0]))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        extra["p50_cfg_step_fast_precision_ms"] = round(
+            float(np.percentile(ts, 50)), 1)
+    except Exception as e:
+        extra["fast_mode_error"] = f"{type(e).__name__}: {e}"
+    try:
         from omnihuman_tpu.models.vae import init_vae, vae_decode
 
         @jax.jit
