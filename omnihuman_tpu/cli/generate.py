@@ -49,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch or sequential cond/uncond (default: the "
                         "memory-validated mode per model/resolution, "
                         "REPORTS/memory_14B.md)")
+    p.add_argument("--one_step", action="store_true",
+                   help="Seaweed-APT one-step generation: a SINGLE DiT "
+                        "forward at t=T (no CFG/solver loop), then VAE "
+                        "decode — the reference's wan_inference.py CLI "
+                        "(seaweed_apt/wan_inference.py:217-230). Pass the "
+                        "trained one-step generator via --generator_ckpt")
+    p.add_argument("--generator_ckpt", default=None, metavar="DIR",
+                   help="orbax dir of a distill/APT training state; its "
+                        "EMA stream becomes the one-step generator "
+                        "(reference --model_path). Omit to run the base "
+                        "DiT weights one-step (smoke/debug)")
     p.add_argument("--export_step", default=None, metavar="PATH",
                    help="instead of generating, export the denoise step "
                         "for this task/size/frame_num as a serialized "
@@ -132,6 +143,11 @@ def main(argv=None):
         from omnihuman_tpu.utils.logging import profile_trace
         prof = profile_trace(args.profile)
 
+    if args.one_step and args.task.startswith("i2v"):
+        sys.exit("--one_step is the Seaweed-APT t2v path; i2v tasks have "
+                 "no one-step generator (reference wan_inference.py is "
+                 "t2v-only)")
+
     if args.task.startswith("i2v"):
         import numpy as np
         from PIL import Image
@@ -150,6 +166,30 @@ def main(argv=None):
                              or cfg.sample_guide_scale),
                 n_prompt=args.n_prompt, seed=args.base_seed,
                 cfg_mode=args.cfg_mode)
+    elif args.one_step:
+        from omnihuman_tpu.pipelines.text2video import WanT2V
+        from omnihuman_tpu.pipelines.wan_inference import (
+            SeaweedWanAPTGenerator)
+        pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                      precision=args.precision)
+        g_params = None
+        if args.generator_ckpt:
+            from omnihuman_tpu.utils.checkpoint import CheckpointManager
+            state = CheckpointManager(args.generator_ckpt).restore()
+            if state is None:
+                sys.exit(f"no checkpoint found in {args.generator_ckpt}")
+            # distill/APT states both carry the generator as `ema_params`
+            # (apt/distill.py:39, apt/apt_trainer.py:74); a bare params
+            # PyTree is accepted as-is
+            if isinstance(state, dict) and "ema_params" in state:
+                g_params = state["ema_params"]
+            else:
+                g_params = getattr(state, "ema_params", state)
+        gen = SeaweedWanAPTGenerator(pipe, generator_params=g_params)
+        with prof:
+            video = gen.generate(args.prompt, size=(w, h),
+                                 frame_num=frame_num, seed=args.base_seed)
+        logger.info(f"one-step stage timings: {gen.timings}")
     else:
         from omnihuman_tpu.pipelines.text2video import WanT2V
         pipe = WanT2V(cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,

@@ -67,6 +67,9 @@ class SeaweedWanAPTGenerator:
                 lat_shape[2] // cfg.model.patch_size[1],
                 lat_shape[3] // cfg.model.patch_size[2])
         sin, cos = rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len)
+        # seed < 0 → random, matching the CLI contract of the reference
+        # (wan_inference.py:227 "--seed -1 for random") and WanT2V.generate
+        seed = seed if seed >= 0 else int(np.random.randint(0, 2 ** 31))
         noise = jax.random.normal(jax.random.key(seed), (1,) + lat_shape,
                                   jnp.float32)
 

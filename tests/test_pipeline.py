@@ -1,5 +1,7 @@
 """End-to-end t2v pipeline smoke tests (tiny config, CPU)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -137,3 +139,37 @@ def test_precision_fast_mode(pipe):
 
     with pytest.raises(ValueError, match="unknown precision"):
         WanT2V(TINY_TEST, checkpoint_dir=None, precision="turbo")
+
+
+def test_generate_cli_one_step(tmp_path):
+    """`--one_step` is the reference's wan_inference.py CLI entry
+    (seaweed_apt/wan_inference.py:217-230): one DiT forward at t=T, VAE
+    decode, save — including loading a trained generator from a
+    distill-state checkpoint's EMA stream (reference --model_path)."""
+    import jax
+
+    from omnihuman_tpu.apt.distill import init_distill_state, make_optimizer
+    from omnihuman_tpu.cli.generate import main
+    from omnihuman_tpu.models.wan_dit import init_wan_model
+    from omnihuman_tpu.utils.checkpoint import CheckpointManager
+
+    base = ["--task", "tiny-test", "--size", "32*32", "--frame_num", "1",
+            "--one_step", "--base_seed", "7"]
+
+    out = main(base + ["--save_file", str(tmp_path / "clip.mp4")])
+    assert out is not None and os.path.exists(out)
+
+    # EMA-stream restore path (distill/APT states restore as plain dicts
+    # without a target; the CLI picks their `ema_params`)
+    params = init_wan_model(jax.random.key(0), TINY_TEST.model)
+    mgr = CheckpointManager(str(tmp_path / "gck"), async_save=False)
+    mgr.save(3, init_distill_state(params, make_optimizer()))
+    mgr.wait()
+    mgr.close()
+    out2 = main(base + ["--generator_ckpt", str(tmp_path / "gck"),
+                        "--save_file", str(tmp_path / "clip2.mp4")])
+    assert out2 is not None and os.path.exists(out2)
+
+    # i2v has no one-step generator: fail loudly
+    with pytest.raises(SystemExit):
+        main(["--task", "i2v-14B", "--one_step", "--size", "480*832"])
