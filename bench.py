@@ -144,6 +144,24 @@ def main():
             ts.append((time.perf_counter() - t0) * 1e3)
         extra["p50_cfg_step_fast_precision_ms"] = round(
             float(np.percentile(ts, 50)), 1)
+
+        # int8 serving mode (--precision int8, opt-in): W8A8 block GEMMs
+        # on the MXU over the bf16 residual stream; pixel-gated at
+        # PSNR 39.3 dB / SSIM 0.998 vs fp32 (REPORTS/perf_r4.md §7).
+        from omnihuman_tpu.ops.quant import quantize_wan_params
+
+        params_q = jax.jit(quantize_wan_params)(params)
+        jax.block_until_ready(params_q)
+        float(jnp.sum(cfg_step_fast(params_q, x, t, ctx)[:, 0, 0, 0, 0]))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(cfg_step_fast(params_q, x, t, ctx)
+                          [:, 0, 0, 0, 0]))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        extra["p50_cfg_step_int8_ms"] = round(
+            float(np.percentile(ts, 50)), 1)
+        del params_q
     except Exception as e:
         extra["fast_mode_error"] = f"{type(e).__name__}: {e}"
     try:

@@ -37,12 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-sharding degree (fsdp mesh axis)")
     p.add_argument("--precision", default="fast",
-                   choices=("fast", "reference"),
+                   choices=("fast", "reference", "int8"),
                    help="serving default 'fast' = bf16 residual stream "
                         "(real-chip pixel gate: PSNR 39.8 dB / SSIM "
                         "0.989 vs fp32, 3.6%% faster step — "
                         "REPORTS/perf_r4.md §6); 'reference' = fp32 "
-                        "residual, exact torch-reference parity")
+                        "residual, exact torch-reference parity; "
+                        "'int8' = fast + W8A8 int8 DiT GEMMs on the MXU "
+                        "(ops/quant.py, REPORTS/perf_r4.md §7)")
     p.add_argument("--cfg_mode", default=None,
                    choices=("fused", "sequential"),
                    help="classifier-free-guidance execution: fused 2B "
@@ -185,6 +187,9 @@ def main(argv=None):
                 g_params = state["ema_params"]
             else:
                 g_params = getattr(state, "ema_params", state)
+            if args.precision == "int8":
+                from omnihuman_tpu.ops.quant import quantize_wan_params_jit
+                g_params = quantize_wan_params_jit(g_params)
         gen = SeaweedWanAPTGenerator(pipe, generator_params=g_params)
         with prof:
             video = gen.generate(args.prompt, size=(w, h),

@@ -43,11 +43,13 @@ def main(argv=None):
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--precision", default="fast",
-                   choices=("fast", "reference"),
+                   choices=("fast", "reference", "int8"),
                    help="'fast' (serving default) = bf16 residual stream "
                         "(real-chip pixel gate PSNR 39.8 dB / SSIM 0.989 "
                         "vs fp32, REPORTS/perf_r4.md §6); 'reference' = "
-                        "fp32 residual, exact reference parity")
+                        "fp32 residual, exact reference parity; 'int8' = "
+                        "fast + W8A8 int8 DiT block GEMMs (ops/quant.py; "
+                        "the audio adapters stay in bf16)")
     p.add_argument("--output", default="omnihuman_output.mp4")
     from omnihuman_tpu.parallel.train_mesh import add_mesh_args
     add_mesh_args(p)   # --fsdp_size / --sp_size / --remat_group
@@ -69,7 +71,7 @@ def main(argv=None):
 
     cfg = WAN_CONFIGS[args.task]
     base, vcfg, policy = cfg.model, cfg.vae, cfg.policy
-    if args.precision == "fast":
+    if args.precision in ("fast", "int8"):
         import dataclasses
         policy = dataclasses.replace(policy, residual=jnp.bfloat16)
     ocfg = OmniModelConfig(base=base, num_frames=args.num_frames)
@@ -124,6 +126,12 @@ def main(argv=None):
                 restored = restored["params"]  # OmniTrainState layout
             params = jax.tree.map(jnp.asarray, restored)
             logger.info(f"omni params <- {args.checkpoint}")
+    if args.precision == "int8":
+        # quantize AFTER restore (checkpoints hold the bf16/f32 layout);
+        # the omni blocks embed the wan structure, so the same transform
+        # applies — audio adapters pass through unquantized
+        from omnihuman_tpu.ops.quant import quantize_wan_params_jit
+        params = quantize_wan_params_jit(params)
     if mesh is not None:
         from omnihuman_tpu.parallel.partition import shard_params
         params = shard_params(params, mesh)

@@ -65,6 +65,10 @@ def _linear_init(key, d_in, d_out, init=_xavier):
 
 
 def _linear(p, x, compute_dtype=None):
+    if "w_q" in p:   # int8 serving weights (ops/quant.py W8A8 path)
+        from omnihuman_tpu.ops.quant import int8_linear
+        return int8_linear(
+            p, x if compute_dtype is None else x.astype(compute_dtype))
     w, b = p["w"], p["b"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

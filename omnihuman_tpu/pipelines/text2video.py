@@ -67,9 +67,14 @@ class WanT2V:
         # reference at a measured 3813.8 vs 3956.7 ms step
         # (REPORTS/perf_r3.md). "reference" keeps the fp32 residual the
         # torch reference uses (model.py:287-296) — the parity default.
-        if precision not in ("reference", "fast"):
+        # precision="int8" additionally replaces the DiT block GEMM
+        # weights with per-channel int8 and runs them as W8A8 MXU dots
+        # (2x the bf16 FLOP rate on v5e, ops/quant.py) on top of the
+        # fast-mode bf16 residual stream. Serving-only: training and the
+        # parity paths never see quantized params.
+        if precision not in ("reference", "fast", "int8"):
             raise ValueError(f"unknown precision {precision!r}; "
-                             "supported: 'reference', 'fast'")
+                             "supported: 'reference', 'fast', 'int8'")
         self.precision = precision
         import dataclasses as _dc
         self.policy = (config.policy if precision == "reference"
@@ -109,6 +114,10 @@ class WanT2V:
             # context never pay its HBM (replaces the reference's t5_cpu
             # offload juggling, text2video.py:172-182)
             self.params, self.vae_params = init(k1, k2)
+
+        if precision == "int8":
+            from omnihuman_tpu.ops.quant import quantize_wan_params_jit
+            self.params = quantize_wan_params_jit(self.params)
 
         if mesh is not None:
             from omnihuman_tpu.parallel.partition import shard_params

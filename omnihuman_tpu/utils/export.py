@@ -37,10 +37,29 @@ def _resolve_policy(config, precision: str):
     import jax.numpy as jnp
     if precision == "reference":
         return config.policy
-    if precision == "fast":
+    if precision in ("fast", "int8"):
+        # int8 runs the fast-mode bf16 residual; its weight quantization
+        # lives in the params SIGNATURE (see _abstract_params), not here
         return dataclasses.replace(config.policy, residual=jnp.bfloat16)
     raise ValueError(f"unknown precision {precision!r}; "
-                     "expected 'fast' or 'reference'")
+                     "expected 'fast', 'reference' or 'int8'")
+
+
+def _abstract_params(mcfg, pd, precision: str):
+    """Abstract DiT params for the export signature. precision='int8'
+    re-shapes the block GEMM leaves to the quantized (w_q int8, w_s f32)
+    layout (ops/quant.py) — the artifact then expects pre-quantized
+    weights and runs W8A8 MXU GEMMs."""
+    from omnihuman_tpu.models.wan_dit import init_wan_model
+
+    params = jax.eval_shape(lambda k: init_wan_model(k, mcfg),
+                            jax.random.key(0))
+    params = jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct(t.shape, pd), params)
+    if precision == "int8":
+        from omnihuman_tpu.ops.quant import quantize_wan_params
+        params = jax.eval_shape(quantize_wan_params, params)
+    return params
 
 
 def export_jitted(fn: Callable, args_shapes: Sequence[Any], path: str,
@@ -90,7 +109,6 @@ def export_t2v_denoise_step(
 
     import jax.numpy as jnp
 
-    from omnihuman_tpu.models.wan_dit import init_wan_model
     from omnihuman_tpu.pipelines.text2video import _cfg_model_step
 
     mcfg = config.model
@@ -103,10 +121,7 @@ def export_t2v_denoise_step(
     n_tok = math.prod(grid)
     seq_len = -(-n_tok // 1024) * 1024
 
-    params = jax.eval_shape(lambda k: init_wan_model(k, mcfg),
-                            jax.random.key(0))
-    params = jax.tree.map(
-        lambda t: jax.ShapeDtypeStruct(t.shape, pd), params)
+    params = _abstract_params(mcfg, pd, precision)
     sd = jax.ShapeDtypeStruct
     shapes = (
         params,
@@ -145,7 +160,6 @@ def export_i2v_denoise_step(
 
     import jax.numpy as jnp
 
-    from omnihuman_tpu.models.wan_dit import init_wan_model
     from omnihuman_tpu.pipelines.image2video import _i2v_cfg_model_step
 
     mcfg = config.model
@@ -157,10 +171,7 @@ def export_i2v_denoise_step(
                                         mcfg.patch_size))
     seq_len = -(-math.prod(grid) // 1024) * 1024
 
-    params = jax.eval_shape(lambda k: init_wan_model(k, mcfg),
-                            jax.random.key(0))
-    params = jax.tree.map(
-        lambda t: jax.ShapeDtypeStruct(t.shape, pd), params)
+    params = _abstract_params(mcfg, pd, precision)
     sd = jax.ShapeDtypeStruct
     shapes = (
         params,

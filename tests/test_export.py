@@ -132,3 +132,36 @@ def test_export_i2v_roundtrip(tmp_path):
         params, x, t, ctx2, y2, clip2, sin, cos, model_cfg=mcfg,
         policy=cfg.policy, seq_len=seq_len, guide_scale=5.0))
     assert float(np.max(np.abs(got - want))) < 1e-5
+
+
+def test_export_int8_precision(tmp_path):
+    """precision='int8' exports a W8A8 artifact whose params signature is
+    the QUANTIZED tree (ops/quant.py): calling it with quantized params
+    matches the direct int8 forward, and the sidecar records the mode."""
+    import dataclasses
+    import json
+
+    from omnihuman_tpu.ops.quant import quantize_wan_params
+
+    (cfg, seq_len, params, x, t, ctx2, sin, cos,
+     size, frames) = _step_inputs(seed=5)
+    path = str(tmp_path / "step_int8.bin")
+    export_t2v_denoise_step(cfg, size, frames, path, guide_scale=5.0,
+                            platforms=("cpu",), precision="int8")
+    art = load_exported(path)
+    params_q = quantize_wan_params(params)
+    got = np.asarray(art.call(params_q, x, t, ctx2, sin, cos))
+    fast_policy = dataclasses.replace(cfg.policy, residual=jnp.bfloat16)
+    want = np.asarray(_cfg_model_step(
+        params_q, x, t, ctx2, sin, cos, model_cfg=cfg.model,
+        policy=fast_policy, seq_len=seq_len, guide_scale=5.0))
+    assert float(np.max(np.abs(got - want))) < 1e-5
+    # tracks (but differs from) the unquantized fast step
+    ref = np.asarray(_cfg_model_step(
+        params, x, t, ctx2, sin, cos, model_cfg=cfg.model,
+        policy=fast_policy, seq_len=seq_len, guide_scale=5.0))
+    rel = float(np.sqrt(np.mean((got - ref) ** 2)
+                        / np.maximum(np.mean(ref ** 2), 1e-12)))
+    assert 0 < rel < 0.1, rel
+    meta = json.load(open(path + ".json"))
+    assert meta["precision"] == "int8"

@@ -145,6 +145,15 @@ def test_omni_inference_cli_task_registry(tmp_path):
          "--num_inference_steps", "2", "--output", out])
     assert path and os.path.exists(path)
 
+    # int8 serving mode: quantized block GEMMs, audio adapters in bf16
+    out8 = str(tmp_path / "out8.mp4")
+    path8 = omni_inference.main(
+        ["--task", "tiny-test", "--reference_image", str(ref),
+         "--audio", str(wav), "--prompt", "a tiny person talking",
+         "--size", "64*64", "--num_frames", "2", "--precision", "int8",
+         "--num_inference_steps", "2", "--output", out8])
+    assert path8 and os.path.exists(path8)
+
 def test_train_omni_cli_mesh(tmp_path):
     """Omni trainer over the (data, fsdp, sp) mesh from the CLI flags:
     state FSDP-sharded, packed video+ref tokens ring-attended with the
