@@ -10,6 +10,7 @@ Sequence parallelism is exposed as --sp_size (replacing --ulysses_size /
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -57,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode — the reference's wan_inference.py CLI "
                         "(seaweed_apt/wan_inference.py:217-230). Pass the "
                         "trained one-step generator via --generator_ckpt")
+    p.add_argument("--prompts_file", default=None, metavar="TXT",
+                   help="one-step batch serving: file with ONE prompt "
+                        "per line; all clips are generated in a single "
+                        "batched DiT forward + batched VAE decode (batch "
+                        "2 fits v5e HBM at 81f 480x832, batch 4 does not "
+                        "— REPORTS/perf_r4.md 'batched throughput'). "
+                        "Overrides --prompt; outputs get a _NN suffix. "
+                        "Requires --one_step")
     p.add_argument("--generator_ckpt", default=None, metavar="DIR",
                    help="orbax dir of a distill/APT training state; its "
                         "EMA stream becomes the one-step generator "
@@ -145,6 +154,10 @@ def main(argv=None):
         from omnihuman_tpu.utils.logging import profile_trace
         prof = profile_trace(args.profile)
 
+    if args.prompts_file and not args.one_step:
+        sys.exit("--prompts_file is the one-step batch-serving mode; "
+                 "pass --one_step (the multi-step solver loop serves one "
+                 "clip per run)")
     if args.one_step and args.task.startswith("i2v"):
         sys.exit("--one_step is the Seaweed-APT t2v path; i2v tasks have "
                  "no one-step generator (reference wan_inference.py is "
@@ -191,6 +204,30 @@ def main(argv=None):
                 from omnihuman_tpu.ops.quant import quantize_wan_params_jit
                 g_params = quantize_wan_params_jit(g_params)
         gen = SeaweedWanAPTGenerator(pipe, generator_params=g_params)
+        if args.prompts_file:
+            # batch serving: B prompts -> ONE batched forward + ONE
+            # batched decode (REPORTS/perf_r4.md "batched throughput";
+            # batch 2 fits v5e HBM at 81f 480x832, batch 4 does not)
+            prompts = [ln.strip() for ln in
+                       open(args.prompts_file, encoding="utf-8")
+                       if ln.strip()]
+            if not prompts:
+                sys.exit(f"{args.prompts_file} contains no prompts")
+            with prof:
+                videos = gen.generate_batch(prompts, size=(w, h),
+                                            frame_num=frame_num,
+                                            seed=args.base_seed)
+            logger.info(f"one-step batch timings: {gen.timings}")
+            stem = (args.save_file or
+                    f"{args.task.replace('-', '_')}"
+                    f"_{args.size.replace('*', 'x')}.mp4")
+            root, ext = os.path.splitext(stem)
+            paths = [cache_video(videos[i], f"{root}_{i:02d}{ext}",
+                                 fps=cfg.sample_fps)
+                     for i in range(videos.shape[0])]
+            for p_ in paths:
+                logger.info(f"saved {p_}")
+            return paths
         with prof:
             video = gen.generate(args.prompt, size=(w, h),
                                  frame_num=frame_num, seed=args.base_seed)

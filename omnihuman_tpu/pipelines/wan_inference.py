@@ -46,12 +46,44 @@ class SeaweedWanAPTGenerator:
         return_latents: bool = False,
     ):
         """video [3, F, H, W] from ONE model forward (wan_inference.py:71-195)."""
+        out = self.generate_batch([prompt], size=size, frame_num=frame_num,
+                                  seed=seed, context=context,
+                                  context_lens=context_lens,
+                                  return_latents=return_latents)
+        return out if return_latents else out[0]
+
+    def generate_batch(
+        self,
+        prompts,
+        size: Tuple[int, int] = (832, 480),
+        frame_num: int = 1,
+        seed: int = 0,
+        context: Optional[jnp.ndarray] = None,
+        context_lens: Optional[jnp.ndarray] = None,
+        return_latents: bool = False,
+    ):
+        """videos [B, 3, F, H, W] for B prompts from ONE batched forward.
+
+        Batch serving mode (no reference counterpart — the reference
+        serves one clip per process, wan_inference.py:217-230). Measured
+        on a v5e at 81f 480x832 (REPORTS/perf_r4.md "batched
+        throughput"): single-chip throughput is ~neutral (batch 2: 11.75
+        vs 11.46 frames/s/chip — the DiT GEMMs and decode convs already
+        saturate at batch 1), and batch 4 does not fit HBM (AOT
+        18.7 GiB > 16 GiB). The value is operational: B prompts per
+        process/dispatch, and the natural unit for data-parallel
+        multi-chip serving where each chip takes a sub-batch.
+
+        Per-clip noise is derived by `jax.random.fold_in(key(seed), i)`
+        so clip i is NOT a function of the batch it rode in with
+        (bit-exactness pinned by test_one_step_generate_batch).
+        """
         cfg = self.config
         timings = {}
 
         t0 = time.perf_counter()
         if context is None:
-            context, context_lens = self.pipe.encode_text([prompt])
+            context, context_lens = self.pipe.encode_text(list(prompts))
         if context_lens is not None:
             # varlen masking + 128-bucket trim (see WanT2V.generate)
             bucket = int(np.ceil(max(1, int(jnp.max(context_lens)))
@@ -70,8 +102,11 @@ class SeaweedWanAPTGenerator:
         # seed < 0 → random, matching the CLI contract of the reference
         # (wan_inference.py:227 "--seed -1 for random") and WanT2V.generate
         seed = seed if seed >= 0 else int(np.random.randint(0, 2 ** 31))
-        noise = jax.random.normal(jax.random.key(seed), (1,) + lat_shape,
-                                  jnp.float32)
+        b = int(context.shape[0])
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, lat_shape, jnp.float32))(
+            jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.key(seed), jnp.arange(b)))
 
         # mesh plan: inherit the pipe's (VERDICT r3 weak #6 — one-step
         # serving was single-chip only; the 14B generator needs the same
@@ -122,9 +157,11 @@ class SeaweedWanAPTGenerator:
                         spatial_sharding=sh))(self.pipe.vae_params, latents)
         jax.block_until_ready(video)
         timings["vae_decode_s"] = time.perf_counter() - t0
+        timings["frames_per_sec"] = (video.shape[0] * video.shape[2]
+                                     / sum(timings.values()))
         self.timings = timings
         logger.info(f"one-step generation timings: {timings}")
-        return video[0]
+        return video
 
 
 import functools

@@ -173,3 +173,30 @@ def test_generate_cli_one_step(tmp_path):
     # i2v has no one-step generator: fail loudly
     with pytest.raises(SystemExit):
         main(["--task", "i2v-14B", "--one_step", "--size", "480*832"])
+
+
+def test_generate_cli_one_step_batched(tmp_path):
+    """--prompts_file: one-step throughput serving — B prompts in ONE
+    batched DiT forward + ONE batched decode, one clip per line."""
+    from omnihuman_tpu.cli.generate import main
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("a cat\n\na dog\n")   # blank line skipped
+    outs = main(["--task", "tiny-test", "--size", "32*32",
+                 "--frame_num", "1", "--one_step", "--base_seed", "7",
+                 "--prompts_file", str(pf),
+                 "--save_file", str(tmp_path / "clip.mp4")])
+    assert len(outs) == 2
+    for o in outs:
+        assert os.path.exists(o)
+
+    # throughput mode requires the one-step generator
+    with pytest.raises(SystemExit):
+        main(["--task", "tiny-test", "--size", "32*32",
+              "--prompts_file", str(pf)])
+    # empty prompt file fails loudly
+    (tmp_path / "empty.txt").write_text("\n")
+    with pytest.raises(SystemExit):
+        main(["--task", "tiny-test", "--size", "32*32", "--frame_num",
+              "1", "--one_step", "--prompts_file",
+              str(tmp_path / "empty.txt")])

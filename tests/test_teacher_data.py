@@ -75,7 +75,28 @@ def test_one_step_inference(pipe):
     video = gen.generate("a cat", size=(32, 32), frame_num=5, seed=1)
     assert video.shape == (3, 5, 32, 32)
     assert np.isfinite(np.asarray(video)).all()
-    assert set(gen.timings) == {"text_encode_s", "dit_s", "vae_decode_s"}
+    assert set(gen.timings) == {"text_encode_s", "dit_s", "vae_decode_s",
+                                "frames_per_sec"}
+
+
+def test_one_step_generate_batch(pipe):
+    """Throughput mode: B prompts, ONE forward; per-clip noise is
+    fold_in(seed, i), so a clip does not depend on the batch it rode in
+    with — batch[0] must reproduce the single-clip result bit-for-bit
+    when fed the same context slice."""
+    gen = SeaweedWanAPTGenerator(pipe)
+    ctx, lens = pipe.encode_text(["a cat", "a dog"])
+    videos = gen.generate_batch(["a cat", "a dog"], size=(32, 32),
+                                frame_num=5, seed=3,
+                                context=ctx, context_lens=lens)
+    assert videos.shape == (2, 3, 5, 32, 32)
+    assert np.isfinite(np.asarray(videos)).all()
+    assert not np.allclose(np.asarray(videos[0]), np.asarray(videos[1]))
+
+    solo = gen.generate("a cat", size=(32, 32), frame_num=5, seed=3,
+                        context=ctx[:1], context_lens=lens[:1])
+    np.testing.assert_allclose(np.asarray(solo), np.asarray(videos[0]),
+                               atol=2e-5, rtol=1e-5)
 
 
 def test_teacher_data_visualization(pipe, tmp_path):
