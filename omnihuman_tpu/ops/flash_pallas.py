@@ -60,22 +60,30 @@ def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
 
 
 def _mask_block(iq, ik, block_q, block_k, k_len, lk_total, lq_total,
-                causal: bool, window: Tuple[int, int]):
-    """Boolean [block_q, block_k] mask of valid (q, k) pairs."""
+                causal: bool, window: Tuple[int, int],
+                q_off=0, k_off=0):
+    """Boolean [block_q, block_k] mask of valid (q, k) pairs.
+
+    q_off/k_off (scalars, may be traced): GLOBAL index offsets of this
+    call's q/k tokens — the sequence-parallel paths (ring chunks,
+    sp-sharded queries) pass each block's home-shard offset so the
+    causal/window diagonal is evaluated in global coordinates
+    (VERDICT r4 item 7)."""
     q_idx = iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
     k_idx = ik * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
     mask = k_idx < k_len
     if causal or window != (-1, -1):
-        qg = q_idx + (lk_total - lq_total)
+        qg = q_idx + q_off + (lk_total - lq_total)
+        kg = k_idx + k_off
         if causal:
-            mask &= k_idx <= qg
+            mask &= kg <= qg
         left, right = window
         if left >= 0:
-            mask &= (qg - k_idx) <= left
+            mask &= (qg - kg) <= left
         if right >= 0:
-            mask &= (k_idx - qg) <= right
+            mask &= (kg - qg) <= right
     return mask
 
 
@@ -83,9 +91,19 @@ def _mask_block(iq, ik, block_q, block_k, k_len, lk_total, lq_total,
 # forward
 
 
-def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
-                window, lq_total, lk_total, block_q, block_k, num_k_blocks,
-                precision, with_lse):
+def _fwd_kernel(klen_ref, *args, scale, causal, window, lq_total,
+                lk_total, block_q, block_k, num_k_blocks, precision,
+                with_lse, with_offsets=False):
+    # with_offsets=True threads a (2,) SMEM (q_off, k_off) scalar pair
+    # for sequence-parallel global masks; the flag keeps the hot
+    # (maskless) program IDENTICAL to the offset-free kernel — the
+    # unconditional SMEM input measured a 88->118 ms regression at 32k
+    if with_offsets:
+        offs_ref, q_ref, k_ref, v_ref, *refs = args
+        q_off, k_off = offs_ref[0], offs_ref[1]
+    else:
+        q_ref, k_ref, v_ref, *refs = args
+        q_off = k_off = 0
     if with_lse:
         # m in lanes [0,64), l in [64,128) of ONE scratch buffer: two
         # separate 128-lane buffers push the with_lse unroll-2 config
@@ -135,7 +153,7 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
     # masking is free here — the kernel is pipeline-bound (a statically
     # maskless variant measured within noise at 32k tokens on v5e)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
-                       lk_total, lq_total, causal, window)
+                       lk_total, lq_total, causal, window, q_off, k_off)
     s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_ld()
@@ -172,15 +190,21 @@ def _fwd_kernel(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
-def _fwd_kernel_u2(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
-                   window, lq_total, lk_total, block_q, block_k,
-                   num_k2_blocks, precision, with_lse):
+def _fwd_kernel_u2(klen_ref, *args, scale, causal, window, lq_total,
+                   lk_total, block_q, block_k, num_k2_blocks, precision,
+                   with_lse, with_offsets=False):
     """Unroll-by-2 forward: each grid step consumes TWO k-blocks with two
     independent q·k dots. The dot→softmax→dot chain of the plain kernel
     serialises MXU and VPU; here softmax(s0) overlaps the s1 dot and
     softmax(s1) overlaps the p0·v0 dot in the VLIW schedule — measured
     88.2 ms vs 97.5 ms (+10%, 150 TFLOP/s) at 32k tokens on v5e, and
     bit-identical to the sequential kernel (same merge order)."""
+    if with_offsets:                      # see _fwd_kernel
+        offs_ref, q_ref, k_ref, v_ref, *refs = args
+        q_off, k_off = offs_ref[0], offs_ref[1]
+    else:
+        q_ref, k_ref, v_ref, *refs = args
+        q_off = k_off = 0
     if with_lse:
         # merged m|l scratch: see _fwd_kernel — needed to fit scoped VMEM
         o_ref, lse_ref, ml_ref, acc_ref = refs
@@ -227,10 +251,12 @@ def _fwd_kernel_u2(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
         preferred_element_type=jnp.float32,
         precision=precision) * (scale * LOG2E)
     s0 = jnp.where(_mask_block(iq, 2 * ik2, block_q, block_k, k_len,
-                               lk_total, lq_total, causal, window),
+                               lk_total, lq_total, causal, window,
+                               q_off, k_off),
                    s0, NEG_INF)
     s1 = jnp.where(_mask_block(iq, 2 * ik2 + 1, block_q, block_k, k_len,
-                               lk_total, lq_total, causal, window),
+                               lk_total, lq_total, causal, window,
+                               q_off, k_off),
                    s1, NEG_INF)
 
     m_prev = m_ld()
@@ -265,8 +291,13 @@ def _fwd_kernel_u2(klen_ref, q_ref, k_ref, v_ref, *refs, scale, causal,
 
 
 def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
-                  interpret, precision, with_lse, head_dim):
-    """q/k/v: [B, L, N*D]; returns ([B, Lq, N*D], lse [B, N, Lq] | None)."""
+                  interpret, precision, with_lse, head_dim, offsets=None):
+    """q/k/v: [B, L, N*D]; returns ([B, Lq, N*D], lse [B, N, Lq] | None).
+
+    offsets: optional [2] int32 (q_off, k_off) — global index offsets for
+    causal/window masking on sequence-parallel shards (_mask_block);
+    None keeps the offset-free kernel (the hot serving program)."""
+    with_offsets = offsets is not None
     b, lq, nd = q.shape
     lk = k.shape[1]
     d = head_dim
@@ -285,20 +316,25 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
         kernel = functools.partial(
             _fwd_kernel_u2, scale=scale, causal=causal, window=window,
             lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-            num_k2_blocks=nk // 2, precision=precision, with_lse=with_lse)
+            num_k2_blocks=nk // 2, precision=precision, with_lse=with_lse,
+            with_offsets=with_offsets)
         grid = (b, n, nq, nk // 2)
         kv_block = 2 * block_k
     else:
         kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal, window=window,
             lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk, precision=precision, with_lse=with_lse)
+            num_k_blocks=nk, precision=precision, with_lse=with_lse,
+            with_offsets=with_offsets)
         grid = (b, n, nq, nk)
         kv_block = block_k
 
     in_specs = [
         pl.BlockSpec((b,), lambda b_, n_, iq, ik: (0,),
                      memory_space=pltpu.SMEM),
+    ] + ([pl.BlockSpec((2,), lambda b_, n_, iq, ik: (0,),
+                       memory_space=pltpu.SMEM)] if with_offsets else []
+         ) + [
         pl.BlockSpec((1, block_q, d), lambda b_, n_, iq, ik: (b_, iq, n_)),
         pl.BlockSpec((1, kv_block, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
         pl.BlockSpec((1, kv_block, d), lambda b_, n_, iq, ik: (b_, ik, n_)),
@@ -335,7 +371,8 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
             transcendentals=b * n * lq_p * lk_p,
         ),
         interpret=interpret,
-    )(k_lens, qp, kp, vp)
+    )(k_lens, *([offsets.astype(jnp.int32)] if with_offsets else []),
+      qp, kp, vp)
 
     if with_lse:
         out, lse = res
@@ -347,10 +384,16 @@ def _flash_fwd_nd(q, k, v, k_lens, scale, causal, window, block_q, block_k,
 # backward
 
 
-def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                     scale, causal, window, lq_total, lk_total,
-                     block_q, block_k, num_q_blocks, precision):
+def _bwd_dkdv_kernel(klen_ref, *args, scale, causal, window, lq_total,
+                     lk_total, block_q, block_k, num_q_blocks, precision,
+                     with_offsets=False):
+    if with_offsets:                      # see _fwd_kernel
+        offs_ref, *args = args
+        q_off, k_off = offs_ref[0], offs_ref[1]
+    else:
+        q_off = k_off = 0
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+     dk_acc, dv_acc) = args
     ik, iq = pl.program_id(2), pl.program_id(3)
 
     @pl.when(iq == 0)
@@ -371,7 +414,7 @@ def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         preferred_element_type=jnp.float32,
         precision=precision) * (scale * LOG2E)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
-                       lk_total, lq_total, causal, window)
+                       lk_total, lq_total, causal, window, q_off, k_off)
     p = jnp.where(mask, _exp(s - lse[:, None] * LOG2E), 0.0)
 
     dv_acc[:] += jax.lax.dot_general(
@@ -391,10 +434,15 @@ def _bwd_dkdv_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, dq_acc, *,
-                   scale, causal, window, lq_total, lk_total,
-                   block_q, block_k, num_k_blocks, precision):
+def _bwd_dq_kernel(klen_ref, *args, scale, causal, window, lq_total,
+                   lk_total, block_q, block_k, num_k_blocks, precision,
+                   with_offsets=False):
+    if with_offsets:                      # see _fwd_kernel
+        offs_ref, *args = args
+        q_off, k_off = offs_ref[0], offs_ref[1]
+    else:
+        q_off = k_off = 0
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = args
     iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -414,7 +462,7 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         preferred_element_type=jnp.float32,
         precision=precision) * (scale * LOG2E)
     mask = _mask_block(iq, ik, block_q, block_k, k_len,
-                       lk_total, lq_total, causal, window)
+                       lk_total, lq_total, causal, window, q_off, k_off)
     p = jnp.where(mask, _exp(s - lse[:, None] * LOG2E), 0.0)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
@@ -430,8 +478,10 @@ def _bwd_dq_kernel(klen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
-               precision, head_dim):
+               precision, head_dim, offsets=None):
     q, k, v, k_lens, out, lse = res        # q [B, L, N*D]; lse [B, N, Lq]
+    with_offsets = offsets is not None
+    offs_args = [offsets.astype(jnp.int32)] if with_offsets else []
     b, lq, nd = q.shape
     lk = k.shape[1]
     d = head_dim
@@ -463,16 +513,20 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
 
     klen_spec = pl.BlockSpec((b,), lambda b_, n_, i, j: (0,),
                              memory_space=pltpu.SMEM)
+    offs_specs = ([pl.BlockSpec((2,), lambda b_, n_, i, j: (0,),
+                                memory_space=pltpu.SMEM)]
+                  if with_offsets else [])
 
     dkdv_kernel = functools.partial(
         _bwd_dkdv_kernel, scale=scale, causal=causal, window=window,
         lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-        num_q_blocks=nq, precision=precision)
+        num_q_blocks=nq, precision=precision, with_offsets=with_offsets)
     dk, dv = pl.pallas_call(
         dkdv_kernel,
         grid=(b, n, nk, nq),
         in_specs=[
             klen_spec,
+        ] + offs_specs + [
             pl.BlockSpec((1, block_q, d),
                          lambda b_, n_, ik, iq: (b_, iq, n_)),
             pl.BlockSpec((1, block_k, d),
@@ -505,17 +559,18 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(k_lens, qp, kp, vp, dop, lse_p, delta_p)
+    )(k_lens, *offs_args, qp, kp, vp, dop, lse_p, delta_p)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, causal=causal, window=window,
         lq_total=lq, lk_total=lk, block_q=block_q, block_k=block_k,
-        num_k_blocks=nk, precision=precision)
+        num_k_blocks=nk, precision=precision, with_offsets=with_offsets)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, n, nq, nk),
         in_specs=[
             klen_spec,
+        ] + offs_specs + [
             pl.BlockSpec((1, block_q, d),
                          lambda b_, n_, iq, ik: (b_, iq, n_)),
             pl.BlockSpec((1, block_k, d),
@@ -540,7 +595,7 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(k_lens, qp, kp, vp, dop, lse_p, delta_p)[0]
+    )(k_lens, *offs_args, qp, kp, vp, dop, lse_p, delta_p)[0]
 
     return (dq[:, :lq].astype(q.dtype),
             dk[:, :lk].astype(k.dtype),
@@ -552,28 +607,32 @@ def _flash_bwd(res, g, scale, causal, window, block_q, block_k, interpret,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
-def _flash(q, k, v, k_lens, scale, causal, window, block_q, block_k,
-           interpret, precision, head_dim):
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _flash(q, k, v, k_lens, offsets, scale, causal, window, block_q,
+           block_k, interpret, precision, head_dim):
     out, _ = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
                            block_q, block_k, interpret, precision,
-                           with_lse=False, head_dim=head_dim)
+                           with_lse=False, head_dim=head_dim,
+                           offsets=offsets)
     return out
 
 
-def _flash_fwd_rule(q, k, v, k_lens, scale, causal, window, block_q,
-                    block_k, interpret, precision, head_dim):
+def _flash_fwd_rule(q, k, v, k_lens, offsets, scale, causal, window,
+                    block_q, block_k, interpret, precision, head_dim):
     out, lse = _flash_fwd_nd(q, k, v, k_lens, scale, causal, window,
                              block_q, block_k, interpret, precision,
-                             with_lse=True, head_dim=head_dim)
-    return out, (q, k, v, k_lens, out, lse)
+                             with_lse=True, head_dim=head_dim,
+                             offsets=offsets)
+    return out, (q, k, v, k_lens, offsets, out, lse)
 
 
 def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
                     precision, head_dim, res, g):
-    dq, dk, dv = _flash_bwd(res, g, scale, causal, window, block_q,
-                            block_k, interpret, precision, head_dim)
-    return dq, dk, dv, None
+    q, k, v, k_lens, offsets, out, lse = res
+    dq, dk, dv = _flash_bwd((q, k, v, k_lens, out, lse), g, scale, causal,
+                            window, block_q, block_k, interpret,
+                            precision, head_dim, offsets=offsets)
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -598,12 +657,16 @@ def pallas_flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    offsets: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention on [B, L, N, D] inputs (reference layout).
 
     q_lens is accepted for parity; like the reference's varlen path, rows
     past q_lens[b] produce values the caller never reads, so no q-masking
     is required for correctness.
+
+    offsets: optional [2] int32 (q_off, k_off) global index offsets for
+    causal/window masks on sequence-parallel shards (_mask_block).
     """
     del q_lens
     b, lq, n, d = q.shape
@@ -619,7 +682,7 @@ def pallas_flash_attention(
         return attention_xla(
             q, k, v, k_lens=k_lens, softmax_scale=softmax_scale,
             q_scale=q_scale, causal=causal, window_size=window_size,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, offsets=offsets)
 
     scale = float(softmax_scale if softmax_scale is not None else d ** -0.5)
     qc = q.astype(compute_dtype)
@@ -637,7 +700,9 @@ def pallas_flash_attention(
     else:
         k_lens = jnp.minimum(k_lens.astype(jnp.int32), lk)
 
-    out = _flash(qf, kf, vf, k_lens, scale, causal, tuple(window_size),
-                 int(block_q), int(block_k), bool(interpret),
-                 precision, d)
+    if offsets is not None:
+        offsets = offsets.astype(jnp.int32)
+    out = _flash(qf, kf, vf, k_lens, offsets, scale, causal,
+                 tuple(window_size), int(block_q), int(block_k),
+                 bool(interpret), precision, d)
     return out.reshape(b, lq, n, d).astype(out_dtype)

@@ -29,14 +29,27 @@ from omnihuman_tpu.ops.flash_pallas import (
     DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, _flash_bwd, _flash_fwd_nd)
 
 
-def _chunk_attention(q, k, v, k_len, scale, compute_dtype):
+def _chunk_attention(q, k, v, k_len, scale, compute_dtype,
+                     causal=False, window=(-1, -1), q_off=0, k_off=0):
     """Per-chunk attention → (normalized out [B,Lq,N,D] fp32,
-    lse [B,N,Lq] fp32). Fully-masked rows get out=0, lse=-inf."""
-    lk = k.shape[1]
+    lse [B,N,Lq] fp32). Fully-masked rows get out=0, lse=-inf.
+    q_off/k_off: GLOBAL token offsets of this chunk's q/k for
+    causal/window masking (same convention as flash_pallas._mask_block)."""
+    lq, lk = q.shape[1], k.shape[1]
     logits = jnp.einsum("bqnd,bknd->bnqk", q.astype(compute_dtype),
                         k.astype(compute_dtype),
                         preferred_element_type=jnp.float32) * scale
     mask = jnp.arange(lk)[None, None, None, :] < k_len.reshape(-1, 1, 1, 1)
+    if causal or tuple(window) != (-1, -1):
+        qg = jnp.arange(lq)[None, None, :, None] + q_off
+        kg = jnp.arange(lk)[None, None, None, :] + k_off
+        if causal:
+            mask &= kg <= qg
+        left, right = window
+        if left >= 0:
+            mask &= (qg - kg) <= left
+        if right >= 0:
+            mask &= (kg - qg) <= right
     logits = jnp.where(mask, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1)                        # [B,N,Lq]
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -81,8 +94,12 @@ def _merge(o0, lse0, o1, lse1):
 
 
 def _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale, head_dim,
-                         interpret, block_q, block_k):
-    """q/k/v: [B, L_local, N*D] flattened. Returns (out, lse [B,N,Lq])."""
+                         interpret, block_q, block_k,
+                         causal=False, window=(-1, -1)):
+    """q/k/v: [B, L_local, N*D] flattened. Returns (out, lse [B,N,Lq]).
+
+    causal/window are evaluated in GLOBAL coordinates: each chunk's call
+    passes (my_idx*Lq, src*Lk) offsets into the kernel's mask."""
     n_dev = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, lq, nd = q.shape
@@ -90,14 +107,18 @@ def _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale, head_dim,
     n = nd // head_dim
     perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
 
+    masked = causal or tuple(window) != (-1, -1)
+
     def body(carry, i):
         k_cur, v_cur, o_acc, lse_acc = carry
         src = (my_idx + i) % n_dev
         k_len = jnp.clip(seq_lens - src * lk_local, 0, lk_local)
+        offs = (jnp.stack([my_idx * lq, src * lk_local]).astype(jnp.int32)
+                if masked else None)
         o_i, lse_i = _flash_fwd_nd(
-            q, k_cur, v_cur, k_len, scale, False, (-1, -1), block_q,
+            q, k_cur, v_cur, k_len, scale, causal, window, block_q,
             block_k, interpret, jax.lax.Precision.DEFAULT, with_lse=True,
-            head_dim=head_dim)
+            head_dim=head_dim, offsets=offs)
         o_i = o_i.astype(jnp.float32).reshape(b, lq, n, head_dim)
         o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
@@ -111,38 +132,46 @@ def _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale, head_dim,
     return out.reshape(b, lq, nd).astype(q.dtype), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _ring_flash(q, k, v, seq_lens, axis_name, scale, head_dim, interpret,
-                block_q, block_k):
+                block_q, block_k, causal, window):
     out, _ = _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale,
-                                  head_dim, interpret, block_q, block_k)
+                                  head_dim, interpret, block_q, block_k,
+                                  causal, window)
     return out
 
 
 def _ring_flash_fwd_rule(q, k, v, seq_lens, axis_name, scale, head_dim,
-                         interpret, block_q, block_k):
+                         interpret, block_q, block_k, causal, window):
     out, lse = _ring_flash_fwd_pass(q, k, v, seq_lens, axis_name, scale,
-                                    head_dim, interpret, block_q, block_k)
+                                    head_dim, interpret, block_q, block_k,
+                                    causal, window)
     return out, (q, k, v, seq_lens, out, lse)
 
 
 def _ring_flash_bwd_rule(axis_name, scale, head_dim, interpret, block_q,
-                         block_k, res, g):
+                         block_k, causal, window, res, g):
     q, k, v, seq_lens, out, lse = res
     n_dev = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
+    lq = q.shape[1]
     lk_local = k.shape[1]
     perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
     g = g.astype(q.dtype)
+
+    masked = causal or tuple(window) != (-1, -1)
 
     def body(carry, i):
         k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
         src = (my_idx + i) % n_dev
         k_len = jnp.clip(seq_lens - src * lk_local, 0, lk_local)
+        offs = (jnp.stack([my_idx * lq, src * lk_local]).astype(jnp.int32)
+                if masked else None)
         dq_i, dk_i, dv_i = _flash_bwd(
-            (q, k_cur, v_cur, k_len, out, lse), g, scale, False, (-1, -1),
+            (q, k_cur, v_cur, k_len, out, lse), g, scale, causal, window,
             block_q, block_k, interpret, jax.lax.Precision.DEFAULT,
-            head_dim)
+            head_dim, offsets=offs)
         dq_acc = dq_acc + dq_i.astype(jnp.float32)
         # dk/dv accumulators travel WITH their kv chunk: after n_dev hops
         # each chunk's gradient lands back on its home device
@@ -167,7 +196,8 @@ _ring_flash.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
 
 def _ring_flash_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
                       compute_dtype, interpret: bool, block_q: int,
-                      block_k: int):
+                      block_k: int, causal: bool = False,
+                      window: Tuple[int, int] = (-1, -1)):
     """shard_map body: [B, L_local, N, D] 4D wrapper around _ring_flash."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -175,12 +205,15 @@ def _ring_flash_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
         q.astype(compute_dtype).reshape(b, lq, n * d),
         k.astype(compute_dtype).reshape(b, lk, n * d),
         v.astype(compute_dtype).reshape(b, lk, n * d),
-        seq_lens, axis_name, scale, d, interpret, block_q, block_k)
+        seq_lens, axis_name, scale, d, interpret, block_q, block_k,
+        causal, tuple(window))
     return out.reshape(b, lq, n, d).astype(q.dtype)
 
 
 def _ring_attention_local(q, k, v, seq_lens, *, axis_name: str,
-                          scale: float, compute_dtype):
+                          scale: float, compute_dtype,
+                          causal: bool = False,
+                          window: Tuple[int, int] = (-1, -1)):
     """Per-device body under shard_map. q/k/v: [B, L_local, N, D];
     seq_lens: [B] GLOBAL valid token count."""
     n_dev = jax.lax.psum(1, axis_name)
@@ -194,7 +227,10 @@ def _ring_attention_local(q, k, v, seq_lens, *, axis_name: str,
         src = (my_idx + i) % n_dev            # home shard of this block
         k_len_chunk = jnp.clip(seq_lens - src * lk_local, 0, lk_local)
         o_i, lse_i = _chunk_attention(q, k_cur, v_cur, k_len_chunk,
-                                      scale, compute_dtype)
+                                      scale, compute_dtype,
+                                      causal=causal, window=window,
+                                      q_off=my_idx * lq,
+                                      k_off=src * lk_local)
         o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
@@ -217,10 +253,17 @@ def ring_attention(
     impl: str = "auto",
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
 ) -> jnp.ndarray:
-    """Full (non-causal) varlen attention with the token axis sharded on
-    `axis`. q/k/v: [B, L, N, D] global arrays; seq_lens: [B] global valid
+    """Varlen attention with the token axis sharded on `axis`.
+    q/k/v: [B, L, N, D] global arrays; seq_lens: [B] global valid
     counts (same contract as ops.attention.flash_attention).
+
+    causal/window_size are honored in GLOBAL token coordinates — each
+    ring chunk's mask is offset by its home shard (VERDICT r4 item 7),
+    so the mesh path carries the full reference attention contract
+    (seaweed_apt/wan/modules/attention.py:24-131).
 
     impl: 'flash' (Pallas kernel per ring chunk — the scale-viable path,
     O(block) memory), 'dense' (per-chunk jnp softmax — tiny shapes /
@@ -243,10 +286,12 @@ def ring_attention(
         fn = functools.partial(
             _ring_flash_local, axis_name=axis, scale=scale,
             compute_dtype=compute_dtype, interpret=interpret,
-            block_q=block_q, block_k=block_k)
+            block_q=block_q, block_k=block_k, causal=causal,
+            window=tuple(window_size))
     else:
         fn = functools.partial(_ring_attention_local, axis_name=axis,
-                               scale=scale, compute_dtype=compute_dtype)
+                               scale=scale, compute_dtype=compute_dtype,
+                               causal=causal, window=tuple(window_size))
     return shard_map(
         fn, mesh=mesh,
         in_specs=(spec_x, spec_x, spec_x, P(None)),
@@ -277,17 +322,14 @@ def sp_cross_attention(
     cross-attention must go through this shard_map wrapper whenever the
     token axis is sharded. The reference likewise keeps cross-attention
     local per sp rank (xdit_context_parallel.py — SURVEY §5.7).
+
+    causal/window_size: masked in GLOBAL query coordinates — each
+    shard's q offset corrects the kernel's end-aligned (lk - lq) diag
+    so the result matches the unsharded flash/xla call exactly.
     """
     from jax.experimental.shard_map import shard_map
 
     from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
-
-    if causal or tuple(window_size) != (-1, -1):
-        # per-shard masks would use LOCAL q indices — global-offset
-        # causal/window masking is not implemented for this path
-        raise NotImplementedError(
-            "sp_cross_attention supports full bidirectional attention "
-            f"only (got causal={causal}, window_size={tuple(window_size)})")
 
     b, l, n, d = q.shape
     lk = k.shape[1]
@@ -295,11 +337,24 @@ def sp_cross_attention(
     if k_lens is None:
         k_lens = jnp.full((b,), lk, jnp.int32)
     interpret = jax.default_backend() != "tpu"
+    masked = causal or tuple(window_size) != (-1, -1)
+    sp = int(mesh.shape[axis])
+    lq_local = l // sp
 
     def local(q, k, v, kl):
+        offsets = None
+        if masked:
+            # kernel diag is (lk - lq_local); global semantics need
+            # (lk - L_global) + my_idx*lq_local — fold the difference
+            # into the q offset
+            my = jax.lax.axis_index(axis)
+            offsets = jnp.stack(
+                [(my + 1) * lq_local - l, 0]).astype(jnp.int32)
         return pallas_flash_attention(
             q, k, v, k_lens=kl, softmax_scale=scale, q_scale=q_scale,
-            compute_dtype=compute_dtype, interpret=interpret)
+            causal=causal, window_size=tuple(window_size),
+            compute_dtype=compute_dtype, interpret=interpret,
+            offsets=offsets)
 
     spec_q = P(None, axis, None, None)
     spec_kv = P(None, None, None, None)
@@ -319,7 +374,9 @@ def sp_cross_attention(
 
 
 def _ulysses_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
-                   compute_dtype, impl: str = "flash"):
+                   compute_dtype, impl: str = "flash",
+                   causal: bool = False,
+                   window: Tuple[int, int] = (-1, -1)):
     """q/k/v: [B, L_local, N, D] → all_to_all → [B, L, N_local, D]."""
     n_dev = jax.lax.psum(1, axis_name)
 
@@ -347,11 +404,15 @@ def _ulysses_local(q, k, v, seq_lens, *, axis_name: str, scale: float,
         # dense [B, N_local, L, L] softmax that made Ulysses
         # memory-infeasible at the flagship 32k tokens
         from omnihuman_tpu.ops.flash_pallas import pallas_flash_attention
+        # post-all_to_all each device sees the FULL sequence for its head
+        # subset: causal/window need no offsets here
         o = pallas_flash_attention(
             qh, kh, vh, k_lens=seq_lens, softmax_scale=scale,
+            causal=causal, window_size=tuple(window),
             compute_dtype=compute_dtype).astype(jnp.float32)
     else:
-        o, _ = _chunk_attention(qh, kh, vh, seq_lens, scale, compute_dtype)
+        o, _ = _chunk_attention(qh, kh, vh, seq_lens, scale, compute_dtype,
+                                causal=causal, window=window)
     return gather_heads(o.astype(q.dtype))
 
 
@@ -363,6 +424,8 @@ def ulysses_attention(
     softmax_scale: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
     impl: str = "auto",
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
 ) -> jnp.ndarray:
     """Head-scatter sequence parallelism (requires num_heads % sp == 0)."""
     from jax.experimental.shard_map import shard_map
@@ -379,7 +442,8 @@ def ulysses_attention(
 
     spec_x = P(None, axis, None, None)
     fn = functools.partial(_ulysses_local, axis_name=axis, scale=scale,
-                           compute_dtype=compute_dtype, impl=impl)
+                           compute_dtype=compute_dtype, impl=impl,
+                           causal=causal, window=tuple(window_size))
     return shard_map(fn, mesh=mesh,
                      in_specs=(spec_x, spec_x, spec_x, P(None)),
                      out_specs=spec_x, check_rep=False)(q, k, v, seq_lens)

@@ -166,20 +166,121 @@ def test_sp_cross_attention_matches_dense(sp_mesh, rng):
                                    atol=5e-4, rtol=5e-4, err_msg=f"d{nm}")
 
 
-def test_mesh_dispatch_rejects_unsupported_masks(sp_mesh, rng):
-    """Under a mesh, ring/ulysses must fail loudly for causal/window
-    masks (silently computing unmasked attention would be wrong), and
-    sp_cross likewise."""
-    from omnihuman_tpu.ops.attention import flash_attention
-    from omnihuman_tpu.ops.ring_attention import sp_cross_attention
-    from omnihuman_tpu.parallel.mesh import use_mesh
-    b, l, n, d = 1, 16, 2, 8
+MASKS = [dict(causal=True), dict(window_size=(5, 3)),
+         dict(causal=True, window_size=(7, -1))]
+
+
+@pytest.mark.parametrize("impl", ["flash", "dense"])
+@pytest.mark.parametrize("mask", MASKS)
+def test_ring_causal_window_global_offsets(sp_mesh, rng, impl, mask):
+    """Causal/window masks under the ring (VERDICT r4 item 7): every
+    chunk's mask is offset to GLOBAL coordinates, so the sharded result
+    matches unsharded dense attention — including with a varlen
+    seq_lens that crosses shard boundaries."""
+    b, l, n, d = 2, 32, 2, 16
     q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    lens = jnp.asarray([26, 11], jnp.int32)
+
+    got = ring_attention(q, k, v, sp_mesh, seq_lens=lens, impl=impl,
+                         compute_dtype=jnp.float32, **mask)
+    want = attention_xla(q, k, v, k_lens=lens,
+                         compute_dtype=jnp.float32, **mask)
+    # q rows past seq_lens[b] are don't-care (contract: the caller never
+    # reads them; dense gives a uniform average, flash gives 0) — compare
+    # the VALID rows, where the window always contains the diagonal
+    for bi, ln in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(np.asarray(got)[bi, :ln],
+                                   np.asarray(want)[bi, :ln],
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_ring_causal_grads_match_dense(sp_mesh, rng):
+    b, l, n, d = 1, 32, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+
+    def grads(fn):
+        return jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) * w),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    gr = grads(lambda q, k, v: ring_attention(
+        q, k, v, sp_mesh, impl="flash", causal=True, window_size=(9, -1),
+        compute_dtype=jnp.float32))
+    gd = grads(lambda q, k, v: attention_xla(
+        q, k, v, causal=True, window_size=(9, -1),
+        compute_dtype=jnp.float32))
+    for a, b_, nm in zip(gr, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{nm}")
+
+
+@pytest.mark.parametrize("mask", MASKS)
+def test_ulysses_causal_window(sp_mesh, rng, mask):
+    from omnihuman_tpu.ops.ring_attention import ulysses_attention
+    b, l, n, d = 1, 32, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    got = ulysses_attention(q, k, v, sp_mesh,
+                            compute_dtype=jnp.float32, **mask)
+    want = attention_xla(q, k, v, compute_dtype=jnp.float32, **mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("mask", MASKS)
+def test_sp_cross_causal_window(sp_mesh, rng, mask):
+    """sp-sharded queries vs replicated K/V with causal/window masks:
+    the per-shard q offset must reproduce dense end-aligned semantics
+    (lq != lk exercises the diagonal alignment)."""
+    from omnihuman_tpu.ops.ring_attention import sp_cross_attention
+    b, lq, lk, n, d = 2, 32, 12, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, lq, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, lk, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lk, n, d)), jnp.float32)
+    lens = jnp.asarray([12, 7], jnp.int32)
+    got = sp_cross_attention(q, k, v, sp_mesh, k_lens=lens,
+                             compute_dtype=jnp.float32, **mask)
+    want = attention_xla(q, k, v, k_lens=lens,
+                         compute_dtype=jnp.float32, **mask)
+    # rows whose end-aligned causal/window strip contains NO valid key
+    # are don't-care (dense: uniform average; flash: 0) — compare rows
+    # with at least one valid key
+    qi = np.arange(lq)[:, None] + (lk - lq)
+    ki = np.arange(lk)[None, :]
+    valid = ki < np.asarray(lens)[:, None, None]
+    if mask.get("causal"):
+        valid = valid & (ki <= qi)
+    left, right = mask.get("window_size", (-1, -1))
+    if left >= 0:
+        valid = valid & (qi - ki <= left)
+    if right >= 0:
+        valid = valid & (ki - qi <= right)
+    rows = valid.any(-1)                             # [B, Lq]
+    np.testing.assert_allclose(np.asarray(got)[rows],
+                               np.asarray(want)[rows],
+                               atol=2e-4, rtol=2e-4)
+    assert rows.sum() >= 8                           # test isn't vacuous
+
+
+def test_mesh_dispatch_carries_masks(sp_mesh, rng):
+    """flash_attention(implementation='ring'/'ulysses') under a mesh now
+    honors causal/window (formerly NotImplementedError)."""
+    from omnihuman_tpu.ops.attention import flash_attention
+    from omnihuman_tpu.parallel.mesh import use_mesh
+    b, l, n, d = 1, 32, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    want = attention_xla(q, k, v, causal=True, compute_dtype=jnp.float32)
     with use_mesh(sp_mesh):
-        with pytest.raises(NotImplementedError):
-            flash_attention(q, q, q, causal=True, implementation="ring")
-        with pytest.raises(NotImplementedError):
-            flash_attention(q, q, q, window_size=(4, 4),
-                            implementation="ulysses")
-    with pytest.raises(NotImplementedError):
-        sp_cross_attention(q, q, q, sp_mesh, causal=True)
+        for impl in ("ring", "ulysses"):
+            got = flash_attention(q, k, v, causal=True, dtype=jnp.float32,
+                                  implementation=impl)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=2e-4,
+                                       err_msg=impl)
