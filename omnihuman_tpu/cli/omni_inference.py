@@ -38,7 +38,15 @@ def main(argv=None):
     p.add_argument("--size", default="256*256",
                    help="pixel W*H of the output")
     p.add_argument("--num_frames", type=int, default=13,
-                   help="latent frames (pixel frames = 4f-3)")
+                   help="latent frames per window (pixel frames = 4f-3)")
+    p.add_argument("--total_frames", type=int, default=None,
+                   help="total latent frames; > --num_frames chains "
+                        "windows autoregressively via motion tokens "
+                        "(README.md:150-154 'motion frames for long "
+                        "video')")
+    p.add_argument("--motion_frames", type=int, default=2,
+                   help="previous-clip latent frames packed as motion "
+                        "tokens for each follow-on window")
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
@@ -88,6 +96,7 @@ def main(argv=None):
     w_px, h_px = (int(v) for v in args.size.replace("x", "*").split("*"))
     h_lat, w_lat = h_px // cfg.vae_stride[1], w_px // cfg.vae_stride[2]
     f_lat = args.num_frames
+    f_total = args.total_frames or f_lat
 
     # ---- weights ------------------------------------------------------------
     base_params = None
@@ -175,7 +184,7 @@ def main(argv=None):
                     "(no --wav2vec_checkpoint)")
         else:
             ext = AudioFeatureExtractor(dim=ocfg.audio_dim)
-        audio = jnp.asarray(ext(waveform, sr, f_lat))[None]
+        audio = jnp.asarray(ext(waveform, sr, f_total))[None]
 
     # ---- pose heatmaps from a driving video (inference.py:58-126) -----------
     pose = None
@@ -187,7 +196,7 @@ def main(argv=None):
         kp_proc = SapiensKeypointProcessor()
         cap = cv2.VideoCapture(args.pose_video)
         kps = []
-        for _ in range(f_lat):
+        for _ in range(f_total):
             ok, frame = cap.read()
             if not ok:
                 break
@@ -196,26 +205,26 @@ def main(argv=None):
             kps.append(k if k is not None
                        else np.zeros((ocfg.num_keypoints, 3), np.float32))
         cap.release()
-        while len(kps) < f_lat:
+        while len(kps) < f_total:
             kps.append(kps[-1] if kps
                        else np.zeros((ocfg.num_keypoints, 3), np.float32))
         hm = native.gaussian_heatmaps(np.stack(kps),
                                       (h_lat * 2, w_lat * 2))
         pose = jnp.asarray(hm.transpose(1, 0, 2, 3))[None]
 
-    noise = jax.random.normal(jax.random.key(args.seed),
-                              (1, vcfg.z_dim, f_lat, h_lat, w_lat),
-                              jnp.float32)
-
     from omnihuman_tpu.parallel.train_mesh import resolve_remat
-    from omnihuman_tpu.pipelines.omni import omni_generate
+    from omnihuman_tpu.pipelines.omni import omni_generate_windowed
 
     remat = (resolve_remat(args.remat_group, base.num_layers)
              if mesh is not None else False)
-    latents = omni_generate(
-        params, noise, ctx, ctx_null, cfg=ocfg, policy=policy,
-        sampling_steps=args.num_inference_steps, cfg_scale=args.cfg_scale,
-        shift=1.0, mesh=mesh, audio=audio, pose=pose, ref_latent=ref_lat,
+    latents = omni_generate_windowed(
+        params, jax.random.key(args.seed), cfg=ocfg,
+        latent_shape=(1, vcfg.z_dim, f_lat, h_lat, w_lat),
+        context=ctx, context_null=ctx_null,
+        total_frames=f_total, motion_frames=args.motion_frames,
+        audio=audio, pose=pose, ref_latent=ref_lat,
+        policy=policy, sampling_steps=args.num_inference_steps,
+        cfg_scale=args.cfg_scale, shift=1.0, mesh=mesh,
         context_lens=ctx_lens, null_lens=null_lens, remat=remat)
     video = vae_decode(vae_params, latents, vcfg, streaming=True)
     path = cache_video(np.asarray(video[0]), args.output, fps=16)

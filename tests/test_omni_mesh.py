@@ -90,3 +90,49 @@ def test_omni_generate_finite_no_conditions(setup):
         cfg_scale=5.0)
     assert out.shape == inputs["noise"].shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_windowed_long_video_mesh(setup):
+    """Windowed autoregressive long video over the sp mesh (VERDICT r4
+    item 3; README.md:150-154 'motion frames for long video'): window 2
+    is conditioned on window 1's tail latents — its output must differ
+    from an unconditioned window 2 with the same noise — and the packed
+    (video + ref + motion) lengths stay sp-aligned (the mesh run
+    compiling at all pins that)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from omnihuman_tpu.pipelines.omni import omni_generate_windowed
+
+    params, inputs = setup
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, sp=2))
+    sharded = shard_params(params, mesh)
+    key = jax.random.key(7)
+    kw = dict(cfg=OCFG, policy=FP32, sampling_steps=1, cfg_scale=5.0)
+
+    total = F + 1                       # 2 windows, trimmed from 2F
+    long = omni_generate_windowed(
+        sharded, key, latent_shape=(B, C, F, H, W),
+        context=inputs["context"], context_null=inputs["context_null"],
+        total_frames=total, motion_frames=1,
+        ref_latent=inputs["ref_latent"], mesh=mesh, **kw)
+    assert long.shape == (B, C, total, H, W)
+    assert np.all(np.isfinite(np.asarray(long)))
+
+    # same window-2 noise WITHOUT motion conditioning → different clip
+    noise2 = jax.random.normal(jax.random.fold_in(key, 1), (B, C, F, H, W),
+                               jnp.float32)
+    uncond2 = omni_generate(
+        sharded, noise2, inputs["context"], inputs["context_null"],
+        ref_latent=inputs["ref_latent"], mesh=mesh, **kw)
+    got2 = np.asarray(long[:, :, F:])
+    assert not np.allclose(got2, np.asarray(uncond2)[:, :, :total - F],
+                           atol=1e-6)
+
+    # window 1 is by construction the plain (motion-free) clip
+    want1 = omni_generate(
+        sharded, jax.random.normal(jax.random.fold_in(key, 0),
+                                   (B, C, F, H, W), jnp.float32),
+        inputs["context"], inputs["context_null"],
+        ref_latent=inputs["ref_latent"], mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(long[:, :, :F]),
+                               np.asarray(want1), atol=1e-5, rtol=1e-5)
