@@ -32,6 +32,65 @@ def full_frame_detector(image: np.ndarray) -> np.ndarray:
     return np.array([[0, 0, w - 1, h - 1, 1.0]], np.float32)
 
 
+class HeatmapPersonDetector:
+    """Person-bbox proposals from the pose backbone's OWN heatmaps.
+
+    Replaces the reference's mmdet RTMDet person detector
+    (Omnihuman/detector_utils.py:49-123) without extra weights: run the
+    pose backbone once on the resized FULL frame, threshold the
+    max-over-keypoints response, connected-component the mask, and emit
+    one padded box per component (score = mean response inside it).
+    `SapiensKeypointProcessor` then crops the winning box and re-runs
+    the backbone on the crop — the same two-stage top-down pipeline as
+    the reference, with the proposal stage self-hosted.
+
+    Detector protocol: image [H, W, 3] uint8 → [N, 5] (x1,y1,x2,y2,s).
+    Falls back to the full frame when nothing clears the threshold
+    (keypoint_processor.py:96-103 does the same without a detector).
+    """
+
+    def __init__(self, backbone: Callable,
+                 input_size: Tuple[int, int] = (768, 1024),
+                 threshold: float = 0.3,
+                 min_area_frac: float = 1e-3,
+                 pad_frac: float = 0.10):
+        self.backbone = backbone
+        self.input_size = input_size          # (w, h) backbone input
+        self.threshold = threshold
+        self.min_area_frac = min_area_frac
+        self.pad_frac = pad_frac
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h0, w0 = image.shape[:2]
+        frame = cv2.resize(image, self.input_size)        # dsize=(w, h)
+        hm = np.asarray(self.backbone(frame), np.float32)  # [K, hh, ww]
+        resp = hm.max(axis=0)
+        hh, ww = resp.shape
+        peak = float(resp.max())
+        if not np.isfinite(peak) or peak < self.threshold:
+            return full_frame_detector(image)
+        mask = (resp >= self.threshold).astype(np.uint8)
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(mask)
+        sx, sy = w0 / ww, h0 / hh                 # heatmap px → frame px
+        boxes = []
+        min_area = self.min_area_frac * hh * ww
+        for i in range(1, n):                     # 0 is background
+            x, y, bw, bh, area = stats[i]
+            if area < min_area:
+                continue
+            score = float(np.clip(resp[labels == i].mean(), 0.0, 1.0))
+            px, py = self.pad_frac * bw, self.pad_frac * bh
+            boxes.append([
+                max(0.0, (x - px) * sx), max(0.0, (y - py) * sy),
+                min(w0 - 1.0, (x + bw + px) * sx),
+                min(h0 - 1.0, (y + bh + py) * sy), score])
+        if not boxes:
+            return full_frame_detector(image)
+        return np.asarray(boxes, np.float32)
+
+
 class TorchScriptPoseBackbone:
     """Wraps a TorchScript Sapiens model (torch CPU is available here)."""
 
@@ -71,17 +130,23 @@ class SapiensKeypointProcessor:
         nms_threshold: float = 0.3,
         det_score_threshold: float = 0.3,
         backbone: Optional[Callable] = None,
+        self_detect: bool = True,
     ):
         """checkpoint_path routing: ``*.pt2`` → TorchScript wrapper
         (the reference's artifact); anything else → the native JAX
         Sapiens backbone (omni/sapiens.py), converted from the torch
-        state dict. `backbone` accepts any callable crop → [K, h, w]."""
+        state dict. `backbone` accepts any callable crop → [K, h, w].
+
+        self_detect: with a backbone and no explicit detector, propose
+        person boxes from the backbone's own full-frame heatmaps
+        (HeatmapPersonDetector) instead of the whole frame — the
+        two-stage top-down pipeline the reference runs via mmdet RTMDet
+        (detector_utils.py:49-123)."""
         self.num_keypoints = num_keypoints
         self.input_size = input_size
         self.heatmap_size = heatmap_size
         self.nms_threshold = nms_threshold
         self.det_score_threshold = det_score_threshold
-        self.detector = detector or full_frame_detector
         self.backbone = backbone
         if backbone is None and checkpoint_path:
             try:
@@ -94,6 +159,13 @@ class SapiensKeypointProcessor:
             except Exception as e:
                 logger.warning(f"Sapiens load failed ({e}); "
                                "keypoint extraction disabled")
+        if detector is not None:
+            self.detector = detector
+        elif self_detect and self.backbone is not None:
+            self.detector = HeatmapPersonDetector(self.backbone,
+                                                  input_size=input_size)
+        else:
+            self.detector = full_frame_detector
 
     def detect_person(self, image: np.ndarray) -> Optional[np.ndarray]:
         """Best person bbox after score filter + NMS
