@@ -302,6 +302,91 @@ def analyze_pipeline_cfg_step(
     return stats
 
 
+def analyze_distill_step(
+    task: str = "t2v-1.3B",
+    size: Tuple[int, int] = (832, 480),
+    frame_num: int = 81,
+    mesh_shape: Dict[str, int] = None,
+    batch: int = 1,
+    attn_impl: Optional[str] = None,
+    remat=True,
+    backend: str = "tpu",
+    devices=None,
+) -> Dict[str, Any]:
+    """AOT-compile the stage-1 consistency-distillation train step
+    (apt/distill.py distill_train_step — fwd + bwd + AdamW + on-device
+    EMA; reference seaweed_apt/distilled_trainer.py:241-334) and report
+    per-device memory.
+
+    A mesh with all axes == 1 analyses the plain single-chip program
+    (attn_impl='pallas', no token sharding) — the exact geometry the
+    on-chip training bench runs; larger meshes use the ring/sp path."""
+    from omnihuman_tpu.apt.distill import (
+        distill_train_step, init_distill_state, make_optimizer)
+
+    cfg = WAN_CONFIGS[task]
+    if (isinstance(remat, int) and not isinstance(remat, bool)
+            and remat > 1 and cfg.model.num_layers % remat != 0):
+        remat = True                    # per-block, always valid
+    mesh_shape = mesh_shape or {"data": 1, "fsdp": 1, "sp": 1}
+    n_dev = int(np.prod(list(mesh_shape.values())))
+    if backend == "tpu" and devices is None:
+        mesh = topology_mesh(mesh_shape)
+        attn_impl = attn_impl or ("pallas" if n_dev == 1 else "ring")
+    else:
+        mesh = create_mesh(MeshConfig(**mesh_shape), devices=devices)
+        attn_impl = attn_impl or "xla_chunked"
+    sp = mesh.shape.get("sp", 1)
+
+    lat, grid, n_tokens = latent_geometry(cfg, size, frame_num)
+    align = int(np.lcm(sp, 1024)) if n_tokens >= 4096 else max(sp, 1)
+    seq_len = int(math.ceil(n_tokens / align) * align)
+    sin, cos = jax.eval_shape(
+        lambda: rope_angles_3d(grid, cfg.model.head_dim, seq_len=seq_len))
+    optimizer = make_optimizer()
+
+    def abstract_state():
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            wan_dit.init_wan_model(jax.random.key(0), cfg.model))
+        return init_distill_state(params, optimizer)
+
+    state_shape = jax.eval_shape(abstract_state)
+    state_sh = _shardings(mesh, state_shape)
+
+    b = batch
+    batch_s = {
+        "noise": jax.ShapeDtypeStruct((b,) + lat, jnp.float32),
+        "v_teacher": jax.ShapeDtypeStruct((b,) + lat, jnp.float32),
+        "context": jax.ShapeDtypeStruct((b, cfg.text_len, cfg.t5.dim),
+                                        jnp.bfloat16),
+    }
+    repl = NamedSharding(mesh, P())
+    batch_sh = jax.tree.map(lambda _: repl, batch_s)
+    token_sharding = (NamedSharding(mesh, P(None, "sp", None))
+                      if sp > 1 else None)
+
+    def step(state, batch, sin, cos):
+        return distill_train_step(
+            state, batch, optimizer=optimizer, cfg=cfg.model,
+            seq_len=seq_len, rope_sin=sin, rope_cos=cos,
+            policy=cfg.policy, remat=remat, attn_impl=attn_impl,
+            token_sharding=token_sharding)
+
+    jitted = jax.jit(step, in_shardings=(state_sh, batch_sh, repl, repl),
+                     donate_argnums=(0,))
+    with use_mesh(mesh):
+        lowered = jitted.lower(state_shape, batch_s, sin, cos)
+        stats = _compile_stats(lowered)
+    stats.update(task=f"distill-{task}", step="distill_train",
+                 mesh=dict(mesh_shape), seq_len=seq_len,
+                 n_tokens=n_tokens, batch=batch, size=list(size),
+                 frame_num=frame_num, remat=remat, attn_impl=attn_impl,
+                 fits_v5e=(stats["peak_bytes"] < V5E_HBM_BYTES
+                           and not stats.get("oom", False)))
+    return stats
+
+
 def analyze_apt_steps(
     task: str = "i2v-14B",
     size: Tuple[int, int] = (1280, 720),
@@ -589,7 +674,7 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
     p.add_argument("--task", default="i2v-14B")
     p.add_argument("--what", default="cfg",
                    choices=["cfg", "apt", "pipeline", "omni",
-                            "omni_pipeline"])
+                            "omni_pipeline", "distill"])
     p.add_argument("--motion_frames", type=int, default=2,
                    help="packed motion-latent frames for "
                         "--what omni_pipeline")
@@ -623,6 +708,11 @@ def main(argv=None):  # pragma: no cover - exercised by the report script
         stats = analyze_omni_pipeline(args.task, (w, h), args.frame_num,
                                       mesh_shape, args.batch,
                                       motion_frames=args.motion_frames)
+    elif args.what == "distill":
+        stats = analyze_distill_step(args.task, (w, h), args.frame_num,
+                                     mesh_shape, args.batch,
+                                     remat=args.remat if args.remat > 1
+                                     else not args.no_remat)
     else:
         stats = analyze_apt_steps(args.task, (w, h), args.frame_num,
                                   mesh_shape, args.batch)
