@@ -5,9 +5,12 @@ Capability parity with reference wan/utils/prompt_extend.py:101-543:
 `DashScopePromptExpander` (remote API) and `QwenPromptExpander` (local HF
 Qwen / Qwen-VL), returning a structured `PromptOutput`.
 
-This environment has no egress and no Qwen weights, so both backends
-degrade explicitly: DashScope raises a clear error without an API key;
-Qwen falls back to a deterministic template-based expander
+The Qwen backend's preferred path is TPU-native: a converted checkpoint
+run through the JAX Qwen2 graph (models/qwen.py, parity-tested against
+transformers), selected via `checkpoint_path`/`tokenizer_path`. This
+environment has no egress and no Qwen weights, so the backends degrade
+explicitly: DashScope raises a clear error without an API key; Qwen
+falls back to a deterministic template-based expander
 (`TemplatePromptExpander`) that applies the same decorating instructions
 the system prompts describe — keeping the CLI surface and the
 `PromptOutput` contract intact.
@@ -150,44 +153,110 @@ class TemplatePromptExpander(PromptExpander):
 
 
 class QwenPromptExpander(PromptExpander):
-    """Local HF Qwen(-VL) backend (prompt_extend.py:300-543). Falls back
-    to TemplatePromptExpander when weights are unavailable."""
+    """Local Qwen(-VL) backend (prompt_extend.py:300-543).
+
+    Preferred path: a converted checkpoint run through the TPU-native
+    JAX Qwen2 graph (models/qwen.py — jitted prefill + lax.scan decode),
+    selected by `checkpoint_path` (torch .pt/.safetensors state dict of
+    an HF Qwen2ForCausalLM) + `tokenizer_path` (local HF tokenizer dir).
+    Second choice: the HF torch model by `model_name`. Falls back to
+    TemplatePromptExpander when neither is loadable (this image ships no
+    weights and has no egress)."""
 
     def __init__(self, model_name: Optional[str] = None, is_vl=False,
-                 device: str = "cpu", **kwargs):
+                 device: str = "cpu", checkpoint_path: Optional[str] = None,
+                 tokenizer_path: Optional[str] = None,
+                 max_new_tokens: int = 512, **kwargs):
         super().__init__(model_name or (
             "Qwen/Qwen2.5-VL-3B-Instruct" if is_vl
             else "Qwen/Qwen2.5-3B-Instruct"), is_vl)
         self.device = device
+        self.checkpoint_path = checkpoint_path
+        self.tokenizer_path = tokenizer_path
+        self.max_new_tokens = max_new_tokens
         self._model = None
         self._tok = None
+        self._jax = None                 # (params, cfg)
         self._fallback = TemplatePromptExpander(is_vl=is_vl)
+
+    def _load_tokenizer(self):
+        if self._tok is not None:
+            return True
+        try:
+            from transformers import AutoTokenizer
+            self._tok = AutoTokenizer.from_pretrained(
+                self.tokenizer_path or self.model_name)
+            return True
+        except Exception:
+            return False
+
+    def _load_jax(self):
+        """Converted-checkpoint path through the JAX Qwen2 graph."""
+        if self._jax is not None:
+            return True
+        if not (self.checkpoint_path
+                and os.path.exists(self.checkpoint_path)
+                and self._load_tokenizer()):
+            return False
+        try:
+            from omnihuman_tpu.models.qwen import (convert_qwen,
+                                                   infer_qwen_config)
+            from omnihuman_tpu.utils.convert import load_torch_state_dict
+            sd = load_torch_state_dict(self.checkpoint_path)
+            cfg = infer_qwen_config(sd)
+            self._jax = (convert_qwen(sd, cfg), cfg)
+            return True
+        except Exception:
+            return False
 
     def _load(self):
         if self._model is not None:
             return True
         try:
-            from transformers import (AutoModelForCausalLM, AutoTokenizer)
-            self._tok = AutoTokenizer.from_pretrained(self.model_name)
+            from transformers import AutoModelForCausalLM
+            if not self._load_tokenizer():
+                return False
             self._model = AutoModelForCausalLM.from_pretrained(
                 self.model_name)
             return True
         except Exception:
             return False
 
-    def _call(self, prompt, system_prompt, seed, image) -> PromptOutput:
-        if not self._load():
-            out = self._fallback._call(prompt, system_prompt, seed, image)
-            out.message = ("Qwen weights unavailable; " + out.message)
-            return out
+    def _chat_ids(self, prompt, system_prompt):
         msgs = [{"role": "system", "content": system_prompt},
                 {"role": "user", "content": prompt}]
         text = self._tok.apply_chat_template(
             msgs, tokenize=False, add_generation_prompt=True)
-        ids = self._tok([text], return_tensors="pt").input_ids
-        import torch
-        torch.manual_seed(seed)
-        out_ids = self._model.generate(ids, max_new_tokens=256)
-        reply = self._tok.decode(out_ids[0][ids.shape[1]:],
-                                 skip_special_tokens=True)
-        return PromptOutput(True, reply, seed, system_prompt, "qwen-local")
+        return self._tok([text], return_tensors="np").input_ids
+
+    def _call(self, prompt, system_prompt, seed, image) -> PromptOutput:
+        if self._load_jax():
+            import jax
+            import jax.numpy as jnp
+
+            from omnihuman_tpu.models.qwen import qwen_generate
+            params, cfg = self._jax
+            ids = self._chat_ids(prompt, system_prompt)
+            eos = int(self._tok.eos_token_id or -1)
+            out = qwen_generate(
+                params, jnp.asarray(ids, jnp.int32),
+                jnp.asarray([ids.shape[1]]), cfg,
+                max_new_tokens=self.max_new_tokens,
+                key=jax.random.key(max(seed, 0)), eos_id=eos)
+            toks = [int(t) for t in out[0] if int(t) != eos]
+            reply = self._tok.decode(toks, skip_special_tokens=True)
+            return PromptOutput(True, reply, seed, system_prompt,
+                                "qwen-jax")
+        if self._load():
+            ids = self._chat_ids(prompt, system_prompt)
+            import torch
+            torch.manual_seed(seed)
+            out_ids = self._model.generate(torch.tensor(ids),
+                                           max_new_tokens=256)
+            reply = self._tok.decode(out_ids[0][ids.shape[1]:],
+                                     skip_special_tokens=True)
+            return PromptOutput(True, reply, seed, system_prompt,
+                                "qwen-local")
+        out = self._fallback._call(prompt, system_prompt, seed, image)
+        out.message = ("Qwen weights unavailable; " + out.message)
+        return out
