@@ -73,11 +73,67 @@ def main():
     from omnihuman_tpu.ops.rope import rope_angles_3d
 
     cfg = WAN_CONFIGS["t2v-1.3B"]
-    frames, h, w = 21, 60, 104          # 81 pixel frames @ 480x832
+    frames, h, w = 21, 60, 104          # 81 pixel frames @ 81f 480x832
     grid = (21, 30, 52)
     # 32760 tokens padded to the kernel's 1024-block like the pipeline
     # (WanT2V.seq_len_for) — skips the kernel-internal pad copies
     seq_len = -(-(grid[0] * grid[1] * grid[2]) // 1024) * 1024  # 32768
+    extra = {}
+
+    # --- on-chip TRAINING measurement (VERDICT r4 item 1): the jitted
+    # stage-1 distill step (fwd+bwd+AdamW+EMA, apt/distill.py) at the
+    # reference's own distill geometry — Wan-1.3B, latents [16,1,60,104],
+    # seq 1560 (distilled_trainer.py:241-316; BASELINE.md 'Distillation
+    # target config'). The 81f geometry does NOT fit one v5e for
+    # training (AOT: 20.4 GiB peak with grouped remat; it trains on the
+    # mesh — REPORTS/memory_14B.md distill rows); state peaks at
+    # 14.3 GiB here so it runs FIRST and is freed before serving params.
+    try:
+        import functools
+
+        from omnihuman_tpu.apt.distill import (
+            distill_train_step, init_distill_state, make_optimizer)
+
+        opt = make_optimizer()
+        t_grid = (1, 30, 52)
+        t_seq = 1560
+        t_sin, t_cos = rope_angles_3d(t_grid, cfg.model.head_dim,
+                                      seq_len=t_seq)
+        t_state = jax.jit(lambda k: init_distill_state(
+            jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                         init_wan_model(k, cfg.model)), opt)
+        )(jax.random.key(10))
+        jax.block_until_ready(t_state.params)
+
+        @jax.jit
+        def make_train_batch(key):
+            kn, kc, kv = jax.random.split(key, 3)
+            noise = jax.random.normal(kn, (1, 16, 1, 60, 104), jnp.float32)
+            x0 = 0.5 * jax.random.normal(kv, noise.shape, jnp.float32)
+            return {"noise": noise, "v_teacher": noise - x0,
+                    "context": 0.1 * jax.random.normal(
+                        kc, (1, cfg.text_len, cfg.t5.dim), jnp.bfloat16)}
+
+        t_batch = make_train_batch(jax.random.key(11))
+        jax.block_until_ready(t_batch)
+        t_step = jax.jit(functools.partial(
+            distill_train_step, optimizer=opt, cfg=cfg.model,
+            seq_len=t_seq, rope_sin=t_sin, rope_cos=t_cos,
+            policy=cfg.policy, remat=True), donate_argnums=(0,))
+        t_state, m = t_step(t_state, t_batch)
+        float(m["loss"])                    # compile + sync
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            t_state, m = t_step(t_state, t_batch)
+            float(m["loss"])
+            ts.append((time.perf_counter() - t0) * 1e3)
+        d_ms = float(np.percentile(ts, 50))
+        extra["distill_step_ms"] = round(d_ms, 1)
+        extra["train_tokens_per_sec"] = round(1560 / (d_ms / 1e3), 1)
+        del t_state, t_batch, t_step
+    except Exception as e:
+        extra["distill_error"] = f"{type(e).__name__}: {e}"
 
     init = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_wan_model(k, cfg.model)))
@@ -113,7 +169,6 @@ def main():
 
     # --- extra serving metrics (VERDICT r2 item 5): VAE streaming decode
     # and the APT one-step (batch-1, no CFG) DiT forward ---
-    extra = {}
     try:
         # serving fast mode (--precision fast, the generate-CLI default):
         # bf16 residual stream, pixel-gated at PSNR 39.8 dB / SSIM 0.989
@@ -208,6 +263,47 @@ def main():
         # lazy-init/unload_t5 memory discipline (umt5-xxl bf16 is
         # ~11.4 GB; it does not coexist with a resident DiT on one v5e).
         del params, x, ctx, x1, ctx1
+
+        # --- i2v branch on silicon (VERDICT r4 item 8): the mask+ref
+        # channel concat (in_dim 36) + 257 CLIP tokens in cross-attn at
+        # 1.3B dims — 14B doesn't fit one chip, so a 1.3B-dim i2v
+        # variant exercises the branch (reference image2video.py:129-350)
+        import dataclasses as _dc
+
+        icfg = _dc.replace(cfg.model, model_type="i2v", in_dim=36)
+        i_params = jax.jit(lambda k: jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16),
+            init_wan_model(k, icfg)))(jax.random.key(3))
+        jax.block_until_ready(i_params)
+        xi = jnp.asarray(rng.normal(size=(2, 16, frames, h, w)),
+                         jnp.bfloat16)
+        yi = jnp.asarray(rng.normal(size=(2, 20, frames, h, w)),
+                         jnp.bfloat16)
+        clip_fea = jnp.asarray(rng.normal(size=(2, 257, 1280)) * 0.1,
+                               jnp.bfloat16)
+        ctx_i = jnp.asarray(rng.normal(size=(2, 512, 4096)) * 0.1,
+                            jnp.bfloat16)
+        ti = jnp.full((2,), 999.0, jnp.float32)
+
+        @jax.jit
+        def i2v_cfg_step(p, x, t, c, y, cf):
+            v = wan_model_forward(p, x, t, c, cfg=icfg, seq_len=seq_len,
+                                  rope_sin=sin, rope_cos=cos, y=y,
+                                  clip_fea=cf, remat=False)
+            vc, vu = jnp.split(v, 2, axis=0)
+            return vu + 5.0 * (vc - vu)
+
+        float(jnp.sum(i2v_cfg_step(i_params, xi, ti, ctx_i, yi,
+                                   clip_fea)[:, 0, 0, 0, 0]))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(i2v_cfg_step(i_params, xi, ti, ctx_i, yi,
+                                       clip_fea)[:, 0, 0, 0, 0]))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        extra["i2v_cfg_step_ms"] = round(float(np.percentile(ts, 50)), 1)
+        del i_params, xi, yi, clip_fea, ctx_i
+
         from omnihuman_tpu.models.t5 import init_t5_encoder, t5_encode
 
         t5_params = jax.jit(lambda k: jax.tree.map(
@@ -237,6 +333,19 @@ def main():
         extra["e2e_50step_clip_ms_derived"] = round(
             extra["t5_encode_512tok_ms"] + 50 * p50
             + extra["vae_decode_81f_480x832_ms"], 1)
+        # v5e-8 PROJECTION (VERDICT r4 item 2; NOT a measurement — one
+        # real chip here): sp=8 ring DiT (/8, +10% ring budget) +
+        # 8-way W-sharded decode (/8, +25% halo budget) + replicated T5.
+        # Both sharded programs AOT-compile and fit the chipless v5e:2x4
+        # topology — see _v5e8_projection.py / REPORTS/v5e8_projection.json
+        step8 = (extra.get("p50_cfg_step_fast_precision_ms", p50)
+                 / 8 * 1.10)
+        dec8 = extra["vae_decode_81f_480x832_ms"] / 8 * 1.25
+        extra["e2e_50step_v5e8_projected_ms"] = round(
+            extra["t5_encode_512tok_ms"] + 50 * step8 + dec8, 1)
+        extra["v5e8_projection_note"] = (
+            "projected from single-chip p50s (fast precision); "
+            "assumptions in REPORTS/v5e8_projection.json")
     except Exception as e:          # extras must never break the bench
         extra["error"] = f"{type(e).__name__}: {e}"
 
