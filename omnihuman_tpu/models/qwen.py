@@ -344,19 +344,70 @@ def convert_qwen(state_dict, cfg: QwenConfig) -> Params:
     return jax.tree.map(jnp.asarray, params)
 
 
-def infer_qwen_config(state_dict) -> QwenConfig:
-    """Recover QwenConfig from an HF state dict's shapes."""
+def infer_qwen_config(state_dict, num_heads: Optional[int] = None
+                      ) -> QwenConfig:
+    """Recover QwenConfig from an HF state dict's shapes.
+
+    num_heads disambiguates the head dim (not recoverable from shapes
+    alone — q_proj is square); without it, released-size defaults apply
+    (head_dim 128 for >=3B widths, 64 below)."""
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     vocab, dim = sd["embed_tokens.weight"].shape
     n_layers = 1 + max(int(k.split(".")[1]) for k in sd
                        if k.startswith("layers."))
     kv_d = sd["layers.0.self_attn.k_proj.weight"].shape[0]
     ffn = sd["layers.0.mlp.gate_proj.weight"].shape[0]
-    # head_dim isn't in the shapes alone; Qwen2 uses dim // num_heads with
-    # num_heads such that head_dim==128 for released >=3B models, 64 below
-    hd = 128 if dim % 128 == 0 and dim >= 2048 else 64
+    if num_heads:
+        hd = int(dim) // int(num_heads)
+    else:
+        hd = 128 if dim % 128 == 0 and dim >= 2048 else 64
+    # raw torch state_dicts of TIED models still carry lm_head.weight
+    # (same storage as the embedding); only an actually-distinct head
+    # means untied
+    head = state_dict.get("lm_head.weight")
+    tied = head is None or np.array_equal(_t(head),
+                                          _t(sd["embed_tokens.weight"]))
     return QwenConfig(vocab_size=int(vocab), dim=int(dim),
                       ffn_dim=int(ffn), num_layers=n_layers,
                       num_heads=int(dim) // hd,
                       num_kv_heads=int(kv_d) // hd,
-                      tie_embeddings="lm_head.weight" not in state_dict)
+                      tie_embeddings=tied)
+
+
+def load_qwen_checkpoint(path: str) -> Tuple[Params, QwenConfig]:
+    """Load a converted (params, cfg) pair from an HF checkpoint.
+
+    `path` may be a single state-dict file (.pt/.pth/.safetensors) or an
+    HF model DIRECTORY (config.json + one or more weight shards). The
+    directory route reads config.json for the exact head count instead
+    of the released-size heuristic."""
+    import json
+    import os
+
+    from omnihuman_tpu.utils.convert import load_torch_state_dict
+
+    num_heads, hf_cfg = None, {}
+    if os.path.isdir(path):
+        cfg_file = os.path.join(path, "config.json")
+        if os.path.exists(cfg_file):
+            with open(cfg_file) as fh:
+                hf_cfg = json.load(fh)
+            num_heads = hf_cfg.get("num_attention_heads")
+        shards = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".safetensors", ".bin", ".pt", ".pth"))
+            and "index" not in f)
+        if not shards:
+            raise FileNotFoundError(f"no weight files in {path}")
+        sd = {}
+        for s in shards:
+            sd.update(load_torch_state_dict(s))
+    else:
+        sd = load_torch_state_dict(path)
+    cfg = infer_qwen_config(sd, num_heads=num_heads)
+    if hf_cfg:
+        cfg = dataclasses.replace(
+            cfg,
+            rope_theta=float(hf_cfg.get("rope_theta", cfg.rope_theta)),
+            rms_eps=float(hf_cfg.get("rms_norm_eps", cfg.rms_eps)))
+    return convert_qwen(sd, cfg), cfg

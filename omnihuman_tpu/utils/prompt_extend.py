@@ -199,12 +199,8 @@ class QwenPromptExpander(PromptExpander):
                 and self._load_tokenizer()):
             return False
         try:
-            from omnihuman_tpu.models.qwen import (convert_qwen,
-                                                   infer_qwen_config)
-            from omnihuman_tpu.utils.convert import load_torch_state_dict
-            sd = load_torch_state_dict(self.checkpoint_path)
-            cfg = infer_qwen_config(sd)
-            self._jax = (convert_qwen(sd, cfg), cfg)
+            from omnihuman_tpu.models.qwen import load_qwen_checkpoint
+            self._jax = load_qwen_checkpoint(self.checkpoint_path)
             return True
         except Exception:
             return False

@@ -39,6 +39,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full 293-test suite deterministically segfaulted inside XLA:CPU's
+    `backend_compile_and_load` on the ~240th test's (largest) compile —
+    while the same test passes in any fresh process — i.e. cumulative
+    in-process compiler/JIT state, not a test bug. Dropping executable
+    caches between modules keeps the process young; the persistent disk
+    cache (above) makes any recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

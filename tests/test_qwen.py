@@ -102,6 +102,29 @@ def test_generate_jits_and_eos_fills(pair):
         assert np.all(out[0, hits[0]:] == 7)
 
 
+def test_load_checkpoint_dir_reads_config(pair, tmp_path):
+    """HF-directory route: config.json supplies the exact head count the
+    shape heuristic cannot recover at tiny dims."""
+    import json
+
+    from omnihuman_tpu.models.qwen import load_qwen_checkpoint
+
+    hf, params_want = pair
+    d = tmp_path / "qwen"
+    d.mkdir()
+    torch.save(hf.state_dict(), d / "pytorch_model.pt")
+    (d / "config.json").write_text(json.dumps(
+        {"num_attention_heads": CFG.num_heads,
+         "rope_theta": CFG.rope_theta, "rms_norm_eps": CFG.rms_eps}))
+    params, cfg = load_qwen_checkpoint(str(d))
+    assert cfg == CFG
+    got = qwen_forward(params, jnp.asarray([[1, 2, 3]], jnp.int32), cfg)
+    want = qwen_forward(params_want, jnp.asarray([[1, 2, 3]], jnp.int32),
+                        CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_untied_head_and_random_init():
     cfg = QwenConfig(vocab_size=64, dim=32, ffn_dim=64, num_layers=2,
                      num_heads=2, num_kv_heads=1, tie_embeddings=False)
