@@ -102,6 +102,11 @@ class WanI2V(WanT2V):
             context, lens_c = self.encode_text([input_prompt])
             context_null, lens_n = self.encode_text([n_prompt])
             context_lens = jnp.concatenate([lens_c, lens_n])
+            if self.t5_auto_unload:
+                # free the encoder's HBM before CLIP + denoise (see
+                # WanT2V.generate; reference text2video.py:172-182)
+                jax.block_until_ready((context, context_null))
+                self.unload_t5()
         # varlen text masking (reference model.py:530-531) + trim the
         # padded context to a 128-bucket of the true max length — masked
         # kv columns contribute nothing, so output is bit-identical and

@@ -98,6 +98,13 @@ class WanT2V:
 
         self._init_seed = init_seed
         self._t5_params = None
+        self._t5_ckpt_path = None
+        # Single chip cannot hold umt5-xxl (11.4 GB bf16) AND a resident
+        # DiT through the denoise loop (16 GB HBM): free the encoder
+        # right after the prompt is embedded, like the reference's
+        # t5_cpu/offload_model juggling (text2video.py:172-182). Sharded
+        # meshes keep T5 resident (aggregate HBM covers it).
+        self.t5_auto_unload = mesh is None
         if checkpoint_dir is not None:
             self.params = self._load_checkpoint(checkpoint_dir)
         else:
@@ -133,10 +140,15 @@ class WanT2V:
         if self._t5_params is None:
             cast = lambda t: jax.tree.map(
                 lambda x: x.astype(self.param_dtype), t)
-            key = jax.random.key(self._init_seed + 1000)
-            self._t5_params = jax.jit(
-                lambda k: cast(t5_mod.init_t5_encoder(
-                    k, self.config.t5)))(key)
+            if self._t5_ckpt_path is not None:
+                self._t5_params = cast(convert.convert_t5(
+                    convert.load_torch_state_dict(self._t5_ckpt_path),
+                    self.config.t5))
+            else:
+                key = jax.random.key(self._init_seed + 1000)
+                self._t5_params = jax.jit(
+                    lambda k: cast(t5_mod.init_t5_encoder(
+                        k, self.config.t5)))(key)
             if self.mesh is not None:
                 from omnihuman_tpu.parallel.partition import shard_params
                 self._t5_params = shard_params(self._t5_params, self.mesh)
@@ -148,7 +160,9 @@ class WanT2V:
 
     def unload_t5(self):
         """Free the text encoder's device memory (the reference's
-        offload_model/.cpu() round trips, text2video.py:172-182)."""
+        offload_model/.cpu() round trips, text2video.py:172-182). The
+        lazy `t5_params` property restores it on next use — re-init for
+        random weights, reload from `_t5_ckpt_path` for converted ones."""
         self._t5_params = None
 
     # -- checkpoint loading -------------------------------------------------
@@ -168,6 +182,7 @@ class WanT2V:
         t5_path = os.path.join(ckpt_dir,
                                "models_t5_umt5-xxl-enc-bf16.pth")
         if os.path.exists(t5_path):
+            self._t5_ckpt_path = t5_path
             self._t5_params = cast(convert.convert_t5(
                 convert.load_torch_state_dict(t5_path), self.config.t5))
         return self.params
@@ -256,6 +271,11 @@ class WanT2V:
             context, lens_c = self.encode_text([input_prompt])
             context_null, lens_n = self.encode_text([n_prompt])
             context_lens = jnp.concatenate([lens_c, lens_n])
+            if self.t5_auto_unload:
+                # materialize the (tiny) embeddings, then free the
+                # encoder's 11.4 GB before the denoise loop allocates
+                jax.block_until_ready((context, context_null))
+                self.unload_t5()
 
         # varlen text masking (reference model.py:530-531 computes
         # context_lens and masks padded tokens in cross-attention) + a
