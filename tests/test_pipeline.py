@@ -200,3 +200,30 @@ def test_generate_cli_one_step_batched(tmp_path):
         main(["--task", "tiny-test", "--size", "32*32", "--frame_num",
               "1", "--one_step", "--prompts_file",
               str(tmp_path / "empty.txt")])
+
+
+def test_t5_auto_unload_and_checkpoint_reload(monkeypatch):
+    """Single-chip generate frees the T5 encoder after the prompt is
+    embedded (the 11.4 GB umt5-xxl cannot coexist with the DiT through
+    the denoise loop on one v5e — REPORTS/perf_r5.md §5), and a
+    checkpoint-loaded encoder is RELOADED from its recorded path on next
+    use, never silently re-randomised."""
+    p = WanT2V(TINY_TEST, checkpoint_dir=None, param_dtype=jnp.float32)
+    assert p.t5_auto_unload                  # mesh=None → on by default
+    out = p.generate("a tiny test prompt", size=(32, 32), frame_num=5,
+                     sampling_steps=1, seed=1)
+    assert out.shape[0] == 3
+    assert p._t5_params is None              # freed inside generate
+
+    # reload route: a recorded checkpoint path wins over random re-init
+    seen = {}
+    from omnihuman_tpu.pipelines import text2video as t2v_mod
+    monkeypatch.setattr(t2v_mod.convert, "load_torch_state_dict",
+                        lambda path: seen.setdefault("path", path) and {})
+    monkeypatch.setattr(t2v_mod.convert, "convert_t5",
+                        lambda sd, cfg: {"w": jnp.full((3,), 7.0)})
+    p._t5_ckpt_path = "/fake/models_t5.pth"
+    assert p._t5_params is None
+    reloaded = p.t5_params
+    assert seen["path"] == "/fake/models_t5.pth"
+    assert float(reloaded["w"][0]) == 7.0
